@@ -1,0 +1,256 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.catalyst.expressions.XXH64
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Hash-sketch expressions for near-duplicate detection (SURVEY.md §2.3
+  * B7-B9). These are OUR candidate-generation primitives; the reference's
+  * analog is its blocking-key mechanism
+  * (`/root/reference/src/event_dedup/preprocessing/blocking.py:69-121`).
+  *
+  * All are deterministic scalar expressions over one row's token/shingle
+  * array — no shuffle, no state — so they parallelize embarrassingly and the
+  * per-row cost is the only cost. Seeds are pinned (default 42,
+  * FIXTURES.md determinism policy). Implemented with `CodegenFallback`
+  * first (SURVEY.md §7.3); the per-row loop dominates, not dispatch.
+  */
+object Hashing {
+
+  /** xxhash64 of a UTF8String with seed (same kernel as Spark's `xxhash64`). */
+  @inline def hashUtf8(s: UTF8String, seed: Long): Long =
+    XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes(), seed)
+
+  /** Deterministic (a, b) permutation parameters for k MinHash functions. */
+  def permutations(k: Int, seed: Long): (Array[Long], Array[Long]) = {
+    val rnd = new java.util.SplittableRandom(seed)
+    val as = new Array[Long](k)
+    val bs = new Array[Long](k)
+    var i = 0
+    while (i < k) {
+      as(i) = rnd.nextLong() | 1L // odd multiplier => bijection mod 2^64
+      bs(i) = rnd.nextLong()
+      i += 1
+    }
+    (as, bs)
+  }
+
+  // ---------------------------------------------------------------------
+  // Column API
+  // ---------------------------------------------------------------------
+
+  /** array<string> tokens → array<long> DISTINCT hashes of word n-grams. */
+  def shingleHashes(tokens: Column, n: Int, seed: Long = 42L): Column =
+    toCol(ShingleHashes(toExpr(tokens), n, seed))
+
+  /** array<long> shingle hashes → array<long> MinHash signature of length k. */
+  def minHash(shingles: Column, k: Int, seed: Long = 42L): Column =
+    toCol(MinHashSig(toExpr(shingles), k, seed))
+
+  /** array<string> tokens → 64-bit SimHash. */
+  def simHash(tokens: Column, seed: Long = 42L): Column =
+    toCol(SimHash64(toExpr(tokens), seed))
+
+  /** array<long> signature → array<long> LSH band keys (bands × rowsPerBand). */
+  def bandKeys(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    toCol(BandKeys(toExpr(sig), bands, rowsPerBand))
+
+  /** long simhash → array<long> pigeonhole block keys for Hamming ≤ d joins
+    * (numBlocks = d + 1: if two hashes differ in ≤ d bits, at least one of
+    * the d+1 disjoint blocks is identical).
+    */
+  def simHashBlocks(sim: Column, numBlocks: Int): Column =
+    toCol(SimHashBlocks(toExpr(sim), numBlocks))
+}
+
+/** Distinct hashes of word n-grams over a token array.
+  * Gram hash = xxhash64 chain over the n member-token hashes, so no n-gram
+  * strings are materialized.
+  */
+case class ShingleHashes(child: Expression, n: Int, seed: Long)
+    extends UnaryExpression with CodegenFallback {
+  require(n >= 1, s"shingle size must be >= 1, got $n")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val numTokens = arr.numElements()
+    if (numTokens < n) return new GenericArrayData(Array.empty[Long])
+    val tokenHashes = new Array[Long](numTokens)
+    var i = 0
+    while (i < numTokens) {
+      tokenHashes(i) = Hashing.hashUtf8(arr.getUTF8String(i), seed)
+      i += 1
+    }
+    val seen = new java.util.HashSet[java.lang.Long]()
+    val out = new scala.collection.mutable.ArrayBuffer[Long](numTokens - n + 1)
+    i = 0
+    while (i <= numTokens - n) {
+      var h = seed
+      var j = 0
+      while (j < n) {
+        h = XXH64.hashLong(tokenHashes(i + j), h)
+        j += 1
+      }
+      if (seen.add(h)) out += h
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
+    copy(child = newChild)
+  override def prettyName: String = "shingle_hashes"
+}
+
+/** MinHash signature over a shingle-hash array: k independent permutations
+  * h_i(x) = a_i*x + b_i (mod 2^64, unsigned min). Empty input → NULL, so
+  * empty documents never produce candidate pairs.
+  */
+case class MinHashSig(child: Expression, k: Int, seed: Long)
+    extends UnaryExpression with CodegenFallback {
+  require(k >= 1)
+
+  @transient private lazy val (as, bs) = Hashing.permutations(k, seed)
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  // returns NULL for empty shingle sets even when the input is non-null
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val m = arr.numElements()
+    if (m == 0) return null
+    val mins = Array.fill(k)(-1L) // unsigned max
+    var i = 0
+    while (i < m) {
+      val x = arr.getLong(i)
+      var j = 0
+      while (j < k) {
+        val h = as(j) * x + bs(j)
+        if (java.lang.Long.compareUnsigned(h, mins(j)) < 0) mins(j) = h
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+  override def prettyName: String = "min_hash"
+}
+
+/** 64-bit SimHash over tokens: per-bit votes weighted by token frequency
+  * (each occurrence votes). Empty input → NULL.
+  */
+case class SimHash64(child: Expression, seed: Long)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+  // returns NULL for empty token arrays even when the input is non-null
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val m = arr.numElements()
+    if (m == 0) return null
+    val votes = new Array[Int](64)
+    var i = 0
+    while (i < m) {
+      val h = Hashing.hashUtf8(arr.getUTF8String(i), seed)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      if (votes(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    java.lang.Long.valueOf(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+  override def prettyName: String = "sim_hash64"
+}
+
+/** LSH band keys: hash of each r-row slice of the signature, salted with the
+  * band index so keys from different bands never collide into one join bucket.
+  */
+case class BandKeys(child: Expression, bands: Int, rowsPerBand: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(bands >= 1 && rowsPerBand >= 1)
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    require(arr.numElements() >= bands * rowsPerBand,
+      s"signature length ${arr.numElements()} < bands*rows ${bands * rowsPerBand}")
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var h = b.toLong
+      var j = 0
+      while (j < rowsPerBand) {
+        h = XXH64.hashLong(arr.getLong(b * rowsPerBand + j), h)
+        j += 1
+      }
+      out(b) = h
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BandKeys =
+    copy(child = newChild)
+  override def prettyName: String = "band_keys"
+}
+
+/** Pigeonhole block keys for Hamming-ball candidate joins: 64 bits split into
+  * `numBlocks` contiguous blocks; key = block value tagged with block index.
+  */
+case class SimHashBlocks(child: Expression, numBlocks: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(numBlocks >= 1 && numBlocks <= 64)
+
+  private val width = 64 / numBlocks
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(input: Any): Any = {
+    val sim = input.asInstanceOf[Long]
+    val out = new Array[Long](numBlocks)
+    var j = 0
+    while (j < numBlocks) {
+      // last block absorbs the remainder bits
+      val lo = j * width
+      val hi = if (j == numBlocks - 1) 64 else lo + width
+      val mask = if (hi - lo == 64) -1L else (1L << (hi - lo)) - 1L
+      val block = (sim >>> lo) & mask
+      // tag with block index in the top bits (block values use < 62 bits
+      // for numBlocks >= 2, so the tag never collides)
+      out(j) = (j.toLong << 56) ^ XXH64.hashLong(block, j.toLong)
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SimHashBlocks =
+    copy(child = newChild)
+  override def prettyName: String = "simhash_blocks"
+}

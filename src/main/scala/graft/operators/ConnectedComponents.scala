@@ -1,0 +1,126 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Distributed connected components over a DataFrame edge list.
+  *
+  * Reference analog: `nx.connected_components`
+  * (`/root/reference/src/event_dedup/clustering/graph_cluster.py:78`) — an
+  * in-memory single-node pass. At 10^12-node scale the graph never fits one
+  * machine, so this is the alternating large-star/small-star contraction of
+  * Kiveris et al., "Connected Components in MapReduce and Beyond" (SOCC'14),
+  * expressed purely as DataFrame joins + aggregations:
+  *
+  *   large-star: every neighbor v > u links to m = min(N(u) ∪ {u})
+  *   small-star: every neighbor v <= u (and u itself) links to m
+  *
+  * Converges in O(log n) rounds to a star per component (every node points
+  * at the component minimum). `localCheckpoint` after every round cuts the
+  * lineage that would otherwise grow exponentially (SURVEY.md §7.4).
+  * Convergence is detected distributedly — count + order-independent
+  * hash-sum of the edge set — never by collecting labels to the driver.
+  */
+object ConnectedComponents {
+
+  /** @param edges DataFrame with two LongType columns `src`, `dst` (undirected;
+    *              orientation/duplicates are fine — symmetrized internally).
+    * @return DataFrame (node: Long, component: Long) for every node appearing
+    *         in `edges`, where component = min node id of its component.
+    *         Callers union in singletons from the vertex universe themselves
+    *         (graph_cluster.py:65-66 semantics).
+    */
+  def run(edges: DataFrame, maxIterations: Int = 50): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+
+    // symmetrize + dedup + drop self-loops
+    var e = edges
+      .select($"src".cast("long"), $"dst".cast("long"))
+      .where($"src" =!= $"dst")
+      .select(array($"src", $"dst").as("p"))
+      .select(element_at($"p", 1).as("src"), element_at($"p", 2).as("dst"))
+      .distinct()
+      .localCheckpoint(true)
+
+    var converged = false
+    var iter = 0
+    var prevSig: (Long, String) = (-1L, "")
+
+    while (!converged && iter < maxIterations) {
+      val ls = largeStar(e)
+      val ss = smallStar(ls).localCheckpoint(true)
+      // decimal sum: ANSI mode would overflow a LongType sum of 64-bit hashes
+      val sigRow = ss
+        .agg(count(lit(1)).cast("long").as("n"),
+          coalesce(sum(xxhash64($"src", $"dst").cast("decimal(38,0)")), lit(0).cast("decimal(38,0)")).cast("string").as("h"))
+        .as[(Long, String)]
+        .first()
+      converged = sigRow == prevSig
+      prevSig = sigRow
+      e.unpersist()
+      e = ss
+      iter += 1
+    }
+
+    // After convergence every edge is (node > min) -> min: the star. Labels:
+    val nodeToMin = e.select($"src".as("node"), $"dst".as("component"))
+      .union(e.select($"dst".as("node"), $"src".as("component")))
+      .groupBy($"node")
+      .agg(min($"component").as("component"))
+      .select($"node", least($"node", $"component").as("component"))
+    nodeToMin
+  }
+
+  /** large-star: for each u over the symmetrized neighborhood,
+    * m = min(N(u) ∪ {u}); emit (v, m) for v ∈ N(u) with v > u.
+    */
+  private def largeStar(e: DataFrame): DataFrame = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    val nbrs = e.select($"src".as("u"), $"dst".as("v"))
+      .union(e.select($"dst".as("u"), $"src".as("v")))
+    val m = nbrs.groupBy($"u").agg(min($"v").as("mv"))
+      .select($"u", least($"mv", $"u").as("m"))
+    nbrs.join(m, "u")
+      .where($"v" > $"u")
+      .select($"v".as("src"), $"m".as("dst"))
+      .where($"src" =!= $"dst")
+      .distinct()
+  }
+
+  /** small-star: orient edges so src > dst; for each u, over its smaller
+    * neighbors N = {v <= u}, m = min(N ∪ {u}); emit (v, m) for
+    * v ∈ N ∪ {u}, v ≠ m.
+    */
+  private def smallStar(e: DataFrame): DataFrame = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    val oriented = e.select(greatest($"src", $"dst").as("u"), least($"src", $"dst").as("v"))
+    // m = min(N ∪ {u}) = min(v) since every v < u here. No collect_set: a
+    // high-degree hub would otherwise materialize its whole neighborhood in
+    // one aggregation buffer.
+    val m = oriented.groupBy($"u").agg(min($"v").as("m"))
+    oriented.join(m, "u")
+      .where($"v" =!= $"m")
+      .select($"v".as("src"), $"m".as("dst"))
+      .union(m.select($"u".as("src"), $"m".as("dst"))) // u itself links to m (u > m always)
+      .distinct()
+  }
+
+  /** Labels for a full vertex universe: every id in `vertices` gets a
+    * component; ids with no edges become singleton components (their own id) —
+    * reference semantics graph_cluster.py:63-66.
+    *
+    * @param vertices DataFrame with a single LongType column `node`.
+    */
+  def labelsWithSingletons(vertices: DataFrame, edges: DataFrame): DataFrame = {
+    val spark = vertices.sparkSession
+    import spark.implicits._
+    val labeled = run(edges)
+    vertices.select($"node".cast("long"))
+      .join(labeled, Seq("node"), "left")
+      .select($"node", coalesce($"component", $"node").as("component"))
+  }
+}

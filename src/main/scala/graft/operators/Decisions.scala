@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.config.GraftConfig
+
+/** Pairwise decision layer for the webtext pipeline (SURVEY.md §2.4 V6 +
+  * §2.5 A1-A4 semantics, re-targeted at Jaccard evidence).
+  *
+  * The reference decides per-pair from a combined score with high/low
+  * thresholds plus a veto (`matching/combiner.py:52-84`), then routes the
+  * ambiguous band through a second tier (`ai_matching/resolver.py:51-55`).
+  * Ours: exact shingle Jaccard is the combined score; the deterministic
+  * second tier resolves ambiguous pairs by (a) byte-identical extracted
+  * text → match, (b) long exact overlap → `overlap_match` (kept out of dup
+  * clusters by default — syndication is not duplication), else no_match.
+  * Every decision carries a `tier` column ('jaccard', 'exact_text',
+  * 'overlap'), the reference's tier concept (`matching/pipeline.py:48`).
+  */
+object Decisions {
+
+  /** Tier-1 decision from exact Jaccard: match ≥ threshold, no_match below
+    * the ambiguous band, ambiguous in [ambiguousLow, threshold).
+    */
+  def tier1(exactJaccard: Column, cfg: GraftConfig): Column = {
+    val high = cfg.lsh.jaccardThreshold
+    val low = math.min(0.5, high)
+    when(exactJaccard >= high, "match")
+      .when(exactJaccard >= low, "ambiguous")
+      .otherwise("no_match")
+  }
+
+  /** Apply tier-1 to verified candidate pairs. Input needs `exact_jaccard`. */
+  def decide(verified: DataFrame, cfg: GraftConfig): DataFrame =
+    verified
+      .withColumn("decision", tier1(col("exact_jaccard"), cfg))
+      .withColumn("tier", lit("jaccard"))
+
+  /** Tier-2: resolve ambiguous pairs deterministically (A1/A4 seam).
+    *
+    * @param decisions output of [[decide]]
+    * @param extractedByNode (node, extracted_text) projection
+    * @param overlaps verified overlap pairs (node_a, node_b, overlap_len)
+    */
+  def resolveAmbiguous(
+      decisions: DataFrame,
+      extractedByNode: DataFrame,
+      overlaps: DataFrame,
+      cfg: GraftConfig
+  ): DataFrame = {
+    val amb = decisions.where(col("decision") === "ambiguous")
+    val settled = decisions.where(col("decision") =!= "ambiguous")
+    val t = extractedByNode.select(col("node"), xxhash64(col("extracted_text")).as("text_h"))
+    val resolved = amb
+      .join(t.toDF("node_a", "h_a"), "node_a")
+      .join(t.toDF("node_b", "h_b"), "node_b")
+      .join(overlaps.select(col("node_a"), col("node_b"), lit(true).as("has_overlap")),
+        Seq("node_a", "node_b"), "left")
+      .withColumn("decision",
+        when(col("h_a") === col("h_b"), "match")
+          .when(col("has_overlap"), "overlap_match")
+          .otherwise("no_match"))
+      .withColumn("tier",
+        when(col("h_a") === col("h_b"), "exact_text")
+          .when(col("has_overlap"), "overlap")
+          .otherwise(col("tier")))
+      .drop("h_a", "h_b", "has_overlap")
+    settled.unionByName(resolved)
+  }
+
+  /** Match edges that feed connected components: decision == 'match'
+    * (graph_cluster.py:70-76 adds only match edges; weight = score).
+    */
+  def matchEdges(decisions: DataFrame): DataFrame =
+    decisions.where(col("decision") === "match")
+      .select(col("node_a").as("src"), col("node_b").as("dst"), col("exact_jaccard").as("weight"))
+
+  /** Per-decision counts (pipeline.py:155-160 tracks the same). */
+  def decisionStats(decisions: DataFrame): DataFrame =
+    decisions.groupBy("decision", "tier").count()
+}

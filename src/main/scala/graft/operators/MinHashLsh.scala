@@ -1,0 +1,139 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.config.GraftConfig
+import graft.functions.Hashing
+
+/** MinHash + LSH banding candidate generation and exact-Jaccard verification
+  * (SURVEY.md §2.3 B7/B8, §2.4). The reference's analog is blocking-key
+  * candidate generation + within-block pair enumeration
+  * (`/root/reference/src/event_dedup/matching/candidate_pairs.py:31-64`):
+  * explode keys → self-join on key with canonical ordering → dedup across
+  * blocks. Ours swaps date/geo keys for MinHash band keys and verifies with
+  * exact shingle Jaccard (the reference's scorer role, `matching/pipeline.py:123-153`).
+  *
+  * Scale posture:
+  *  - the band self-join is THE skew-sensitive shuffle; over-dense buckets
+  *    (boilerplate pages, hot hosts) are capped at `cfg.lsh.maxBucketSize`
+  *    via a broadcast anti-join of hot keys (dropped buckets are observable
+  *    in [[bucketStats]], never silent) — pair blowup is quadratic in bucket
+  *    size, so one 10^6 bucket would otherwise emit 10^12 pairs;
+  *  - AQE skew-join handles residual imbalance below the cap;
+  *  - pair canonical ordering `node_a < node_b` halves the join output and
+  *    `dropDuplicates` dedups across bands (candidate_pairs.py:59-64 semantics).
+  */
+object MinHashLsh {
+
+  /** Per-doc signature stage: tokens → distinct shingle hashes → MinHash
+    * signature + SimHash. One narrow projection, no shuffle.
+    *
+    * Input: (url, extracted_text, …); output adds
+    * (node, n_tokens, shingles, minhash, simhash).
+    * `node` is the 64-bit xxhash of the url — the CC node id. At 10^12 docs
+    * 64-bit birthday collisions appear (~3%); production would widen to a
+    * 128-bit id, the pipeline only needs ids orderable + hashable.
+    */
+  def signatures(extracted: DataFrame, cfg: GraftConfig, textCol: String = "extracted_text"): DataFrame = {
+    val tokens = split(col(textCol), " ")
+    extracted
+      .withColumn("node", xxhash64(col("url")))
+      .withColumn("n_tokens", when(col(textCol) === "", 0).otherwise(size(tokens)))
+      .withColumn("shingles", Hashing.shingleHashes(tokens, cfg.lsh.shingleSize, cfg.lsh.seed))
+      .withColumn("minhash", Hashing.minHash(col("shingles"), cfg.lsh.numHashes, cfg.lsh.seed))
+      .withColumn("simhash", Hashing.simHash(tokens, cfg.simhash.seed))
+  }
+
+  /** Exploded (node, band_key) table. Band keys are already salted with the
+    * band index (see [[graft.functions.BandKeys]]), so a single-column join
+    * suffices.
+    */
+  def bands(sigs: DataFrame, cfg: GraftConfig): DataFrame =
+    sigs.where(col("minhash").isNotNull)
+      .select(col("node"), explode(Hashing.bandKeys(col("minhash"), cfg.lsh.bands, cfg.lsh.rowsPerBand)).as("band_key"))
+
+  /** Bucket-size distribution + how many buckets the cap drops — the
+    * reference logs blocking reduction stats the same way
+    * (candidate_pairs.py:66-76).
+    */
+  def bucketStats(bands: DataFrame, cfg: GraftConfig): DataFrame =
+    bands.groupBy("band_key").count()
+      .agg(
+        count(lit(1)).as("buckets"),
+        max("count").as("max_bucket"),
+        sum(when(col("count") > cfg.lsh.maxBucketSize, 1).otherwise(0)).as("capped_buckets"),
+        sum(when(col("count") > 1, col("count") * (col("count") - 1) / 2).otherwise(0)).as("candidate_pairs_upper")
+      )
+
+  /** LSH candidate pairs: (node_a, node_b) with node_a < node_b, deduped
+    * across bands, hot buckets dropped (observable via [[bucketStats]]).
+    */
+  def lshCandidates(sigs: DataFrame, cfg: GraftConfig): DataFrame = {
+    val b = bands(sigs, cfg)
+    val hotKeys = b.groupBy("band_key").count()
+      .where(col("count") > cfg.lsh.maxBucketSize)
+      .select("band_key")
+    val pruned = b.join(broadcast(hotKeys), Seq("band_key"), "left_anti")
+    val a = pruned.alias("a")
+    val bb = pruned.alias("b")
+    a.join(bb, col("a.band_key") === col("b.band_key") && col("a.node") < col("b.node"))
+      .select(col("a.node").as("node_a"), col("b.node").as("node_b"))
+      .dropDuplicates("node_a", "node_b")
+  }
+
+  /** SimHash Hamming-ball candidates (SURVEY.md §2.3 B9): join on pigeonhole
+    * block keys, keep pairs with Hamming distance ≤ d. A second recall path
+    * for near-dups whose shingle sets drifted below LSH sensitivity but whose
+    * token distributions stayed close.
+    */
+  def simHashCandidates(sigs: DataFrame, cfg: GraftConfig): DataFrame = {
+    val d = cfg.simhash.maxHammingDistance
+    val blocks = sigs.where(col("simhash").isNotNull)
+      .select(col("node"), col("simhash"), explode(Hashing.simHashBlocks(col("simhash"), d + 1)).as("block_key"))
+    val hotKeys = blocks.groupBy("block_key").count()
+      .where(col("count") > cfg.lsh.maxBucketSize)
+      .select("block_key")
+    val pruned = blocks.join(broadcast(hotKeys), Seq("block_key"), "left_anti")
+    val a = pruned.alias("a")
+    val b = pruned.alias("b")
+    a.join(b, col("a.block_key") === col("b.block_key") && col("a.node") < col("b.node"))
+      .where(bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))) <= d)
+      .select(col("a.node").as("node_a"), col("b.node").as("node_b"))
+      .dropDuplicates("node_a", "node_b")
+  }
+
+  /** Signature-estimated Jaccard: fraction of agreeing MinHash components.
+    * The scale path — at 10^12 docs you verify from the 128-long signature
+    * you already carry instead of re-joining full shingle sets.
+    */
+  def estJaccard(sigA: Column, sigB: Column, k: Int): Column =
+    aggregate(
+      zip_with(sigA, sigB, (x, y) => when(x === y, 1).otherwise(0)),
+      lit(0), (acc, x) => acc + x
+    ).cast("double") / k
+
+  /** Exact shingle-set Jaccard. */
+  def exactJaccard(shA: Column, shB: Column): Column = {
+    val inter = size(array_intersect(shA, shB)).cast("double")
+    val uni = size(array_union(shA, shB)).cast("double")
+    when(uni === 0, 0.0).otherwise(inter / uni)
+  }
+
+  /** Verify candidate pairs: join back to signatures (B4's pair→event lookup,
+    * `matching/pipeline.py:117-125`) and score est + exact Jaccard.
+    *
+    * Input: candidates (node_a, node_b [, tier]); output adds
+    * (url_a, url_b, est_jaccard, exact_jaccard).
+    */
+  def verify(candidates: DataFrame, sigs: DataFrame, cfg: GraftConfig): DataFrame = {
+    val side = sigs.select(col("node"), col("url"), col("shingles"), col("minhash"))
+    val a = side.toDF("node_a", "url_a", "sh_a", "mh_a")
+    val b = side.toDF("node_b", "url_b", "sh_b", "mh_b")
+    candidates
+      .join(a, "node_a")
+      .join(b, "node_b")
+      .withColumn("est_jaccard", estJaccard(col("mh_a"), col("mh_b"), cfg.lsh.numHashes))
+      .withColumn("exact_jaccard", exactJaccard(col("sh_a"), col("sh_b")))
+      .drop("sh_a", "sh_b", "mh_a", "mh_b")
+  }
+}

@@ -1,0 +1,140 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.config.GraftConfig
+
+/** Canonical synthesis: one merged record per cluster with field-level
+  * provenance (SURVEY.md §2.7; reference
+  * `/root/reference/src/event_dedup/canonical/synthesizer.py:16-126`).
+  *
+  * Every reference strategy maps to a built-in aggregate — no UDAF:
+  *   longest / most_complete → max_by over (length, tie-break)
+  *   longest_non_generic     → coalesced max_by with length ≥ minLen filter
+  *   union lists             → array_distinct(flatten(collect_list))
+  *   most_frequent           → two-phase count + max_by with tie-break
+  *   highest_confidence      → max_by(struct, confidence)
+  *   any_true                → bool_or / max
+  *   first/last date         → min / max
+  *
+  * The reference's "first occurrence" tie-breaks depend on Python iteration
+  * order; under shuffle that is nondeterministic, so we impose an explicit
+  * total order — min url among equals (SURVEY.md §7.5) — and document the
+  * delta.
+  */
+object Synthesis {
+
+  /** G1/G4 `_select_longest` (synthesizer.py:134-154): longest non-empty
+    * value; provenance = contributing id; ties → min id.
+    * Returns a struct column (value, src).
+    */
+  def selectLongest(value: Column, id: Column): Column = {
+    val cand = when(value.isNotNull && length(value) > 0,
+      struct((-length(value)).as("neg_len"), id.as("src"), value.as("value")))
+    val best = min(cand)
+    struct(best.getField("value").as("value"), best.getField("src").as("src"))
+  }
+
+  /** G2 `_select_longest_non_generic` (synthesizer.py:157-188): longest value
+    * of length ≥ minLen; fallback to longest overall; fallback empty string.
+    */
+  def selectLongestNonGeneric(value: Column, id: Column, minLen: Int = 10): Column = {
+    val longCand = when(value.isNotNull && length(value) >= minLen,
+      struct((-length(value)).as("neg_len"), id.as("src"), value.as("value")))
+    val anyCand = when(value.isNotNull && length(value) > 0,
+      struct((-length(value)).as("neg_len"), id.as("src"), value.as("value")))
+    val bestLong = min(longCand)
+    val bestAny = min(anyCand)
+    struct(
+      coalesce(bestLong.getField("value"), bestAny.getField("value"), lit("")).as("value"),
+      coalesce(bestLong.getField("src"), bestAny.getField("src"), min(id)).as("src")
+    )
+  }
+
+  /** G3 `_select_union_lists` (synthesizer.py:191-211): dedup union of list
+    * values. Reference preserves encounter order; we sort for determinism.
+    */
+  def selectUnionLists(listCol: Column): Column =
+    array_sort(array_distinct(flatten(collect_list(listCol))))
+
+  /** G5 `_select_most_frequent` (synthesizer.py:225-249). Needs a pre-count:
+    * call on a DataFrame grouped by (cluster, value) with counts. Here: the
+    * aggregate over (count, value) pairs — max count, tie → min value.
+    */
+  def mostFrequent(countCol: Column, value: Column): Column = {
+    val best = min(when(value.isNotNull, struct((-countCol).as("neg_n"), value.as("value"))))
+    best.getField("value")
+  }
+
+  /** G9 any_true with provenance = min id among trues (synthesizer.py:112-121). */
+  def anyTrue(flag: Column, id: Column): Column =
+    struct(
+      coalesce(bool_or(flag), lit(false)).as("value"),
+      coalesce(min(when(flag, id)), min(id)).as("src")
+    )
+
+  /** Full canonical synthesis for the webtext pipeline: labels (node,
+    * component) joined to extracted pages, grouped by component.
+    *
+    * Output: one row per cluster with canonical url (min member url — the
+    * deterministic cluster key), representative text (longest extracted,
+    * G1 semantics), member list, counts, time range, langs union, and a
+    * field→source provenance map (G10).
+    */
+  def canonicals(labeled: DataFrame, cfg: GraftConfig): DataFrame = {
+    val textSel = selectLongest(col("extracted_text"), col("url"))
+    labeled
+      .groupBy(col("component"))
+      .agg(
+        min(col("url")).as("canonical_url"),
+        textSel.as("text_sel"),
+        sort_array(collect_list(col("url"))).as("member_urls"),
+        count(lit(1)).as("source_count"),
+        min(col("warc_ts")).as("first_seen"),
+        max(col("warc_ts")).as("last_seen"),
+        selectUnionLists(array(col("lang"))).as("langs")
+      )
+      .select(
+        col("component"),
+        col("canonical_url"),
+        col("text_sel.value").as("text"),
+        col("member_urls"),
+        col("source_count"),
+        col("first_seen"),
+        col("last_seen"),
+        col("langs"),
+        map(
+          lit("text"), col("text_sel.src"),
+          lit("first_seen"), col("canonical_url"),
+          lit("langs"), lit("union_all_sources")
+        ).as("field_provenance")
+      )
+  }
+
+  /** C3 cluster coherence (coherence.py:16-65): size cap, min average
+    * internal edge weight; flagged clusters survive but are marked.
+    * `edges` = (src, dst, weight) match edges; `labels` = (node, component).
+    */
+  def coherence(labels: DataFrame, edges: DataFrame, cfg: GraftConfig): DataFrame = {
+    val lbl = labels.select(col("node"), col("component"))
+    val edgeInCluster = edges
+      .join(lbl.toDF("src", "component"), "src")
+      .groupBy("component")
+      .agg(avg(col("weight")).as("avg_weight"), count(lit(1)).as("edge_count"))
+    lbl.groupBy("component").agg(count(lit(1)).as("size"))
+      .join(edgeInCluster, Seq("component"), "left")
+      .withColumn("flagged",
+        col("size") > cfg.cluster.maxClusterSize ||
+          (col("avg_weight").isNotNull && col("avg_weight") < cfg.cluster.minInternalSimilarity))
+  }
+
+  /** G12 per-cluster confidence: mean match-edge weight; NULL for singletons
+    * (`matching/pipeline.py:282-301`).
+    */
+  def clusterConfidence(labels: DataFrame, edges: DataFrame): DataFrame = {
+    val lbl = labels.select(col("node"), col("component"))
+    edges.join(lbl.toDF("src", "component"), "src")
+      .groupBy("component")
+      .agg(avg(col("weight")).as("match_confidence"))
+  }
+}

@@ -1,0 +1,76 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths}
+
+/** Stage checkpointing with per-partition lineage + metrics
+  * (north_rule: resumable mid-pipeline; SURVEY.md §7.2).
+  *
+  * Reference analog: the file-hash ingestion ledger
+  * (`/root/reference/src/event_dedup/ingestion/file_processor.py:187-196`)
+  * and the content-hash decision cache (`ai_matching/cache.py:21-57`) — both
+  * make re-runs idempotent by keying persisted artifacts on input identity.
+  * Here every stage table is keyed by a config hash: same input + same
+  * config → the stage is read back instead of recomputed; any config change
+  * invalidates exactly the stages whose semantics changed.
+  *
+  * Layout per stage under `workDir`:
+  *   <stage>/            parquet data
+  *   <stage>__meta.json  {"stage":..,"config_hash":..,"rows":..,"wall_ms":..}
+  *   <stage>__lineage/   parquet (partition_id, rows) per-partition metrics
+  *
+  * Parquet stands in for Iceberg (no Iceberg runtime jar in this sandbox —
+  * SURVEY.md §7.4); the seam is this object: swap `write.parquet` for
+  * `writeTo(...).overwritePartitions()` and the pipeline is unchanged.
+  */
+final class Checkpoints(spark: SparkSession, workDir: String, configHash: String) {
+
+  private def dataPath(stage: String) = s"$workDir/$stage"
+  private def metaPath(stage: String) = s"$workDir/${stage}__meta.json"
+  private def lineagePath(stage: String) = s"$workDir/${stage}__lineage"
+
+  def isComplete(stage: String): Boolean = {
+    val p = Paths.get(metaPath(stage))
+    Files.exists(p) && new String(Files.readAllBytes(p)).contains(s""""config_hash":"$configHash"""")
+  }
+
+  /** Run `compute` unless this stage already checkpointed under the current
+    * config hash; always return the stage read back FROM the checkpoint so
+    * downstream lineage starts at the parquet scan (bounded plans, stable
+    * partitioning).
+    */
+  def stage(name: String)(compute: => DataFrame): DataFrame = {
+    if (!isComplete(name)) {
+      val t0 = System.nanoTime()
+      val df = compute
+      df.write.mode("overwrite").parquet(dataPath(name))
+      val wallMs = (System.nanoTime() - t0) / 1000000L
+      val back = spark.read.parquet(dataPath(name))
+      val lineage = back.groupBy(spark_partition_id().as("partition_id"))
+        .agg(count(lit(1)).as("rows"))
+        .withColumn("stage", lit(name))
+        .withColumn("config_hash", lit(configHash))
+      lineage.write.mode("overwrite").parquet(lineagePath(name))
+      val rows = back.count()
+      Files.createDirectories(Paths.get(workDir))
+      Files.write(
+        Paths.get(metaPath(name)),
+        s"""{"stage":"$name","config_hash":"$configHash","rows":$rows,"wall_ms":$wallMs}""".getBytes
+      )
+    }
+    spark.read.parquet(dataPath(name))
+  }
+
+  /** All lineage rows across stages (the per-partition metrics table). */
+  def lineage(): DataFrame = {
+    val dirs = new java.io.File(workDir).listFiles()
+    val lineageDirs = Option(dirs).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.endsWith("__lineage"))
+      .map(_.getPath)
+    if (lineageDirs.isEmpty)
+      spark.emptyDataFrame
+    else
+      lineageDirs.map(spark.read.parquet(_)).reduce(_ unionByName _)
+  }
+}

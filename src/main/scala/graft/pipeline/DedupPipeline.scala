@@ -1,0 +1,121 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.config.GraftConfig
+import graft.functions.TextFunctions
+import graft.operators._
+
+/** The flagship near-duplicate pipeline (SURVEY.md §3.1 Spark lifecycle):
+  *
+  *   pages → extracted → signatures → candidates → decisions → labels →
+  *   canonicals
+  *
+  * Each stage optionally checkpoints (parquet + per-partition lineage) so a
+  * killed run resumes from the last complete stage — the north_rule's
+  * resumability requirement. Stage boundaries are exactly the shuffles:
+  * band/block self-joins, CC rounds, the final group-by.
+  */
+final class DedupPipeline(
+    spark: SparkSession,
+    cfg: GraftConfig = GraftConfig.default,
+    workDir: Option[String] = None
+) {
+  import spark.implicits._
+
+  private val ckpt = workDir.map(new Checkpoints(spark, _, cfg.configHash))
+
+  private def stage(name: String)(compute: => DataFrame): DataFrame =
+    ckpt match {
+      case Some(c) => c.stage(name)(compute)
+      case None    => compute
+    }
+
+  /** Extraction: html bytes → normalized text (byte-identical per url). */
+  def extracted(pages: DataFrame): DataFrame = stage("extracted") {
+    pages.select(
+      col("url"),
+      col("warc_ts"),
+      col("lang"),
+      TextFunctions.extractText(col("html")).as("extracted_text")
+    )
+  }
+
+  def signatures(extractedDf: DataFrame): DataFrame = stage("signatures") {
+    MinHashLsh.signatures(extractedDf, cfg)
+  }
+
+  /** Candidate pairs from all tiers, deduped with tier priority
+    * lsh > simhash (a pair found by both keeps 'lsh').
+    */
+  def candidates(sigs: DataFrame): DataFrame = stage("candidates") {
+    val lsh = MinHashLsh.lshCandidates(sigs, cfg).withColumn("cand_tier", lit("lsh"))
+    val sim = MinHashLsh.simHashCandidates(sigs, cfg).withColumn("cand_tier", lit("simhash"))
+    lsh.unionByName(sim)
+      .groupBy("node_a", "node_b")
+      .agg(min(col("cand_tier")).as("cand_tier")) // 'lsh' < 'simhash' lexically
+  }
+
+  /** Long-exact-overlap tier pairs (node_a, node_b, overlap_len). */
+  def overlaps(extractedDf: DataFrame): DataFrame = stage("overlaps") {
+    val texts = extractedDf
+      .select(xxhash64(col("url")).as("node"), col("extracted_text"))
+      .as[(Long, String)]
+    val cands = SuffixOverlap.candidates(texts, cfg)
+    SuffixOverlap.verify(cands, texts, cfg)
+  }
+
+  def decisions(cands: DataFrame, sigs: DataFrame, extractedDf: DataFrame): DataFrame =
+    stage("decisions") {
+      val verified = MinHashLsh.verify(cands, sigs, cfg)
+      val tier1 = Decisions.decide(verified, cfg)
+      val byNode = extractedDf.select(xxhash64(col("url")).as("node"), col("extracted_text"))
+      Decisions.resolveAmbiguous(tier1, byNode, overlaps(extractedDf), cfg)
+    }
+
+  /** Cluster labels over the full vertex universe (singletons preserved,
+    * graph_cluster.py:65-66).
+    */
+  def labels(sigs: DataFrame, decisionsDf: DataFrame): DataFrame = stage("labels") {
+    val vertices = sigs.select(col("node"))
+    val edges = Decisions.matchEdges(decisionsDf)
+    ConnectedComponents.labelsWithSingletons(vertices, edges)
+  }
+
+  def canonicals(labelsDf: DataFrame, extractedDf: DataFrame): DataFrame = stage("canonicals") {
+    val labeled = extractedDf
+      .withColumn("node", xxhash64(col("url")))
+      .join(labelsDf, "node")
+    Synthesis.canonicals(labeled, cfg)
+  }
+
+  /** Run end-to-end; returns the canonicals DataFrame. */
+  def run(pages: DataFrame): DataFrame = {
+    val ext = extracted(pages)
+    val sigs = signatures(ext)
+    val cands = candidates(sigs)
+    val decs = decisions(cands, sigs, ext)
+    val lbls = labels(sigs, decs)
+    canonicals(lbls, ext)
+  }
+
+  /** All intermediate stages, for tests/metrics. */
+  def runAll(pages: DataFrame): DedupResult = {
+    val ext = extracted(pages)
+    val sigs = signatures(ext)
+    val cands = candidates(sigs)
+    val decs = decisions(cands, sigs, ext)
+    val lbls = labels(sigs, decs)
+    val canon = canonicals(lbls, ext)
+    DedupResult(ext, sigs, cands, decs, lbls, canon)
+  }
+}
+
+final case class DedupResult(
+    extracted: DataFrame,
+    signatures: DataFrame,
+    candidates: DataFrame,
+    decisions: DataFrame,
+    labels: DataFrame,
+    canonicals: DataFrame
+)
