@@ -1,0 +1,126 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import graft.config.GraftConfig
+import graft.datagen.PagesGen
+import graft.functions.TextFunctions
+import org.apache.spark.sql.functions._
+
+/** End-to-end pipeline gates (SURVEY.md §5 layer 3 / BASELINE.md targets):
+  * planted-truth dup-pair recall ≥ 0.99, byte-identical extraction,
+  * overlap-tier detection, singleton preservation, resume-from-checkpoint.
+  */
+class DedupPipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val N = 1500L
+  private lazy val cfg = GraftConfig.default
+  private lazy val pages = PagesGen.pages(spark, N).toDF.cache()
+  private lazy val truth = PagesGen.truthPairs(spark, N).toDF.cache()
+  private lazy val result = new DedupPipeline(spark, cfg).runAll(pages)
+
+  test("extraction invariant: extract(html) == normalize(text) for every url") {
+    val mismatches = pages
+      .select(
+        TextFunctions.extractText($"html").as("from_html"),
+        TextFunctions.normalizeText($"text").as("from_text"))
+      .where($"from_html" =!= $"from_text")
+      .count()
+    assert(mismatches == 0)
+  }
+
+  test("extraction is deterministic across runs (byte-identity per url)") {
+    val a = new DedupPipeline(spark, cfg).extracted(pages)
+      .select($"url", xxhash64($"extracted_text").as("h"))
+    val b = new DedupPipeline(spark, cfg).extracted(pages.repartition(16))
+      .select($"url", xxhash64($"extracted_text").as("h2"))
+    assert(a.join(b, "url").where($"h" =!= $"h2").count() == 0)
+  }
+
+  test("dup-pair recall >= 0.99 against planted truth (BASELINE.json gate)") {
+    val labels = result.labels // (node, component)
+    val urlNode = pages.select($"url", xxhash64($"url").as("node"))
+      .join(labels, "node")
+      .select($"url", $"component")
+    val samePairs = truth.where($"label" === "same")
+    val joined = samePairs
+      .join(urlNode.toDF("url_a", "comp_a"), "url_a")
+      .join(urlNode.toDF("url_b", "comp_b"), "url_b")
+    val total = joined.count()
+    val hit = joined.where($"comp_a" === $"comp_b").count()
+    assert(total > 100, s"expected substantial planted truth, got $total")
+    val recall = hit.toDouble / total
+    assert(recall >= 0.99, s"recall=$recall ($hit/$total)")
+  }
+
+  test("hard negatives are NOT merged (precision guard)") {
+    val labels = result.labels
+    val urlNode = pages.select($"url", xxhash64($"url").as("node"))
+      .join(labels, "node").select($"url", $"component")
+    val diff = truth.where($"label" === "different")
+      .join(urlNode.toDF("url_a", "comp_a"), "url_a")
+      .join(urlNode.toDF("url_b", "comp_b"), "url_b")
+    val merged = diff.where($"comp_a" === $"comp_b").count()
+    assert(merged == 0, s"$merged hard-negative pairs were merged")
+  }
+
+  test("long-exact-overlap pairs detected by the suffix tier") {
+    val ext = result.extracted
+    val overlaps = new DedupPipeline(spark, cfg).overlaps(ext)
+    val nodeUrl = pages.select(xxhash64($"url").as("node"), $"url")
+    val found = overlaps
+      .join(nodeUrl.toDF("node_a", "ua"), "node_a")
+      .join(nodeUrl.toDF("node_b", "ub"), "node_b")
+      .select(least($"ua", $"ub").as("url_a"), greatest($"ua", $"ub").as("url_b"))
+    val want = truth.where($"label" === "overlap")
+    val total = want.count()
+    val hit = want.join(found, Seq("url_a", "url_b"), "left_semi").count()
+    assert(total > 10, s"expected planted overlap pairs, got $total")
+    assert(hit.toDouble / total >= 0.99, s"overlap recall = $hit/$total")
+  }
+
+  test("singletons survive as their own clusters") {
+    val n = pages.count()
+    val labelCount = result.labels.count()
+    assert(labelCount == n, s"every page labeled: $labelCount != $n")
+    val clusters = result.canonicals
+    assert(clusters.where($"source_count" === 1).count() > n / 2)
+  }
+
+  test("canonicals: member counts sum to page count; canonical_url is min member") {
+    val canon = result.canonicals
+    val sumMembers = canon.agg(sum($"source_count")).as[Long].collect()(0)
+    assert(sumMembers == pages.count())
+    val bad = canon.where($"canonical_url" =!= array_min($"member_urls")).count()
+    assert(bad == 0)
+  }
+
+  test("decision stats expose tiers (reference tier concept)") {
+    val stats = graft.operators.Decisions.decisionStats(result.decisions)
+      .as[(String, String, Long)].collect()
+    assert(stats.map(_._1).contains("match"))
+  }
+
+  test("pipeline resumes from checkpoint: identical labels, stages skipped") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    val p1 = new DedupPipeline(spark, cfg, Some(dir))
+    val r1 = p1.runAll(pages)
+    val labels1 = r1.labels.as[(Long, Long)].collect().toMap
+    // second pipeline over the same workDir must read back, not recompute
+    val ck = new Checkpoints(spark, dir, cfg.configHash)
+    assert(ck.isComplete("extracted") && ck.isComplete("signatures") &&
+      ck.isComplete("candidates") && ck.isComplete("decisions") &&
+      ck.isComplete("labels") && ck.isComplete("canonicals"))
+    val p2 = new DedupPipeline(spark, cfg, Some(dir))
+    val labels2 = p2.runAll(pages).labels.as[(Long, Long)].collect().toMap
+    assert(labels1 == labels2)
+    // lineage sidecars exist with per-partition rows
+    val lineage = ck.lineage()
+    assert(lineage.count() > 0)
+    assert(lineage.columns.toSet == Set("partition_id", "rows", "stage", "config_hash"))
+    // a config change invalidates checkpoints
+    val cfg2 = cfg.copy(lsh = cfg.lsh.copy(jaccardThreshold = 0.7))
+    val ck2 = new Checkpoints(spark, dir, cfg2.configHash)
+    assert(!ck2.isComplete("decisions"))
+  }
+}
