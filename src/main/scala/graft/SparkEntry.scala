@@ -1,13 +1,630 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.config.GraftConfig
+import graft.datagen.PagesGen
+import graft.functions.TextFunctions
+import graft.operators._
+import graft.pipeline.DedupPipeline
+
+/** Driver contract (SURVEY.md §7.0): `entry` = flagship dedup run;
+  * `queries` = one entry per implemented operator family (SURVEY.md §2);
+  * `oracleSql` = DuckDB-equivalent SQL for everything SQL-expressible.
+  *
+  * Conventions for oracle-checked queries:
+  *  - column names identical on both sides (the driver sorts columns by name
+  *    and hashes values);
+  *  - no raw double aggregation across rows (summation order differs across
+  *    engines) — sums go through exact integer/decimal forms, divisions
+  *    happen once on exact operands, outputs round;
+  *  - every ordering used with offset/limit is a total order.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private val cfg = GraftConfig.default
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** documents ∪ near-duplicate variants: each doc gets a sibling
+    * (doc_id + 1,000,000) whose text carries a 3-token boilerplate prefix —
+    * cosmetic at shingle level (Jaccard ≳ 0.9), so MinHash/LSH must pair
+    * every (doc, variant). The expected pair set is therefore exactly
+    * SQL-expressible, giving the LSH pipeline a DuckDB oracle.
+    */
+  private def docsWithVariants(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    d.select(col("doc_id"), col("text"), col("lang"), col("source"))
+      .unionByName(d.select(
+        (col("doc_id") + 1000000L).as("doc_id"),
+        concat(lit("prefix boilerplate note "), col("text")).as("text"),
+        col("lang"), col("source")))
+  }
+
+  /** documents ∪ exact-duplicate copies of every third doc (distinct ids) —
+    * the exact-dedup fixture, same shape as the reference's duplicate event
+    * files.
+    */
+  private def docsWithExactDups(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    d.select(col("doc_id"), col("text"), col("lang"), col("source"))
+      .unionByName(d.where(col("doc_id") % 3 === 0).select(
+        (col("doc_id") + 1000000L).as("doc_id"), col("text"), col("lang"), col("source")))
+  }
+
+  /** Flagship: full near-dup pipeline over the synthetic pages corpus;
+    * clusters with ≥ 2 members (planted dups guarantee rows > 0).
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    val pages = PagesGen.pages(spark, 2000L).toDF()
+    new DedupPipeline(spark, cfg).run(pages)
+      .where(col("source_count") >= 2)
+      .select("canonical_url", "source_count", "member_urls", "text")
+  }
+
+  // =========================================================================
+  // Query surface (SURVEY.md §2.9 Q1-Q12 analogs)
+  // =========================================================================
+
+  private def q01(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .where(lower(col("text")).contains("table scan"))
+      .select("doc_id", "lang", "source")
+
+  private def q02(s: SparkSession, dir: String): DataFrame = {
+    val priorities = Seq("1-URGENT", "2-HIGH")
+    t(s, dir, "orders")
+      .where(priorities.map(p => col("o_orderpriority") === p).reduce(_ || _))
+      .select("o_orderkey", "o_orderpriority")
+  }
+
+  private def q03(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .where(col("o_orderdate") >= lit("1995-01-01") && col("o_orderdate") < lit("1997-01-01"))
+      .groupBy("o_orderstatus")
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("string").as("sum_price"))
+
+  private def q04(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .where(Seq("join", "scan").map(w => col("text").contains(w)).reduce(_ && _))
+      .select("doc_id")
+
+  private def q05(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .orderBy(col("l_shipdate").desc, col("l_orderkey"), col("l_linenumber"))
+      .offset(100).limit(50)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        date_format(col("l_shipdate"), "yyyy-MM-dd").as("ship_day"))
+
+  private def q06(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events").select("event_type").distinct()
+
+  private def q07(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").groupBy("lang", "source").agg(count(lit(1)).as("n"))
+
+  private def q08(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(floor(col("value") * 1000).cast("long")).as("sum_millis"))
+
+  private def q09(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events").agg(
+      count(when(col("event_type") === "click", 1)).as("n_click"),
+      count(when(col("value") > 0.5, 1)).as("n_high_value"),
+      count(when(col("value").isNull, 1)).as("n_null_value"),
+      countDistinct(col("user_id")).as("n_users"))
+
+  private def q10(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events").groupBy("event_type").agg(count(lit(1)).as("n"))
+
+  // =========================================================================
+  // Evaluation / metrics (Q15-Q18 analogs)
+  // =========================================================================
+
+  private def q11(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val thresholds = Seq(0.01, 0.02, 0.03, 0.04, 0.05, 0.06, 0.07, 0.08).toDF("threshold")
+    t(s, dir, "lineitem").select("l_discount")
+      .join(broadcast(thresholds), col("l_discount") >= col("threshold"))
+      .groupBy("threshold").agg(count(lit(1)).as("n_pairs_above"))
+  }
+
+  /** Q17 precision/recall/F1 confusion arithmetic via set-op joins on pair
+    * sets (`evaluation/metrics.py:35-83`). Prediction: |Δn_chars| ≤ 2;
+    * truth: same lang AND |Δn_chars| ≤ 5 — over doc_id < 200.
+    */
+  private def q12(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").where(col("doc_id") < 200)
+      .select("doc_id", "n_chars", "lang")
+    val a = d.toDF("id_a", "nc_a", "lang_a")
+    val b = d.toDF("id_b", "nc_b", "lang_b")
+    val pairs = a.join(b, col("id_a") < col("id_b"))
+      .withColumn("pred", abs(col("nc_a") - col("nc_b")) <= 2)
+      .withColumn("truth", col("lang_a") === col("lang_b") && abs(col("nc_a") - col("nc_b")) <= 5)
+    pairs.agg(
+      count(when(col("pred") && col("truth"), 1)).as("tp"),
+      count(when(col("pred") && !col("truth"), 1)).as("fp"),
+      count(when(!col("pred") && col("truth"), 1)).as("fn")
+    ).select(col("tp"), col("fp"), col("fn"),
+      round(col("tp") / (col("tp") + col("fp")), 6).as("precision"),
+      round(col("tp") / (col("tp") + col("fn")), 6).as("recall"))
+  }
+
+  /** Q18 auto-labeler rule cascade (`ground_truth/auto_labeler.py:83-182`
+    * shape): ordered when/otherwise over signals.
+    */
+  private def q13(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .withColumn("label",
+        when(col("value") >= 0.9, "same")
+          .when(col("value") >= 0.7 && col("event_type") === "click", "same")
+          .when(col("value") < 0.1, "different")
+          .when(col("event_type") === "purchase" && col("value") < 0.5, "different")
+          .otherwise("skip"))
+      .groupBy("label").agg(count(lit(1)).as("n"))
+
+  // =========================================================================
+  // Deduplication family (SURVEY.md §2.3 + training-pipeline ops)
+  // =========================================================================
+
+  private def q14(s: SparkSession, dir: String): DataFrame =
+    docsWithExactDups(s, dir)
+      .groupBy(sha2(col("text"), 256).as("text_hash"))
+      .agg(count(lit(1)).as("dup_count"), min(col("doc_id")).as("keep_id"))
+      .where(col("dup_count") > 1)
+
+  private def q15(s: SparkSession, dir: String): DataFrame =
+    docsWithExactDups(s, dir)
+      .groupBy(sha2(col("text"), 256).as("text_hash"))
+      .agg(min(col("doc_id")).as("keep_id"),
+        array_join(sort_array(collect_list(col("doc_id").cast("string"))), ",").as("members"))
+
+  private def q16(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(col("doc_id"),
+      TextAnalysis.fingerprintSha(col("text")).as("fingerprint"))
+
+  /** Exact-dup clusters through the REAL distributed CC machinery; oracle is
+    * the closed-form min-per-text-group.
+    */
+  private def q17(s: SparkSession, dir: String): DataFrame = {
+    val d = docsWithExactDups(s, dir).select(col("doc_id"), sha2(col("text"), 256).as("h"))
+    val a = d.toDF("id_a", "h")
+    val b = d.toDF("id_b", "h")
+    val edges = a.join(b, "h").where(col("id_a") < col("id_b"))
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+    ConnectedComponents.labelsWithSingletons(d.select(col("doc_id").as("node")), edges)
+      .select(col("node").as("doc_id"), col("component").as("cluster_id"))
+  }
+
+  private def docSigs(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), col("text").as("extracted_text"), col("doc_id").as("url"))
+    MinHashLsh.signatures(docs, cfg).withColumn("node", col("doc_id"))
+  }
+
+  /** MinHash+LSH near-dup pairs over the documents table's own planted
+    * near-duplicates. Oracle: brute-force 3-gram Jaccard in DuckDB (the
+    * corpus has no pairs in [0.5, 0.9), so the 0.8 threshold has a wide
+    * stability margin and banding recall at j ≥ 0.9 is ≈ 1).
+    */
+  private def q18(s: SparkSession, dir: String): DataFrame = {
+    val sigs = docSigs(s, dir)
+    val cands = MinHashLsh.lshCandidates(sigs, cfg)
+    MinHashLsh.verify(cands, sigs, cfg)
+      .where(col("exact_jaccard") >= cfg.lsh.jaccardThreshold)
+      .select(col("node_a").as("doc_id_a"), col("node_b").as("doc_id_b"))
+  }
+
+  /** SimHash Hamming-ball tier over the same corpus (recall path 2). */
+  private def q19(s: SparkSession, dir: String): DataFrame =
+    MinHashLsh.simHashCandidates(docSigs(s, dir), cfg)
+      .select(col("node_a").as("doc_id_a"), col("node_b").as("doc_id_b"))
+
+  /** Exact n-gram Jaccard values for near-dup pairs (j ≥ 0.5). Oracle:
+    * brute-force in DuckDB — valid because the corpus has no pairs between
+    * the LSH-recall floor and the filter (see q18).
+    */
+  private def q20(s: SparkSession, dir: String): DataFrame = {
+    val sigs = docSigs(s, dir)
+    val cands = MinHashLsh.lshCandidates(sigs, cfg)
+    MinHashLsh.verify(cands, sigs, cfg)
+      .where(col("exact_jaccard") >= 0.5)
+      .select(col("node_a").as("doc_id_a"), col("node_b").as("doc_id_b"),
+        round(col("exact_jaccard"), 4).as("jaccard"))
+  }
+
+  /** Suffix/substring tier: docs ∪ truncated-prefix variants share their
+    * first min(300, len) chars → every doc with ≥ 256 chars pairs with its
+    * variant (LCS ≥ minOverlapChars). Output restricted to the planted pairs
+    * so the expected set is closed-form; the tier also surfaces the corpus's
+    * own genuine long overlaps (see DedupPipelineSpec for those).
+    */
+  private def q21(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = t(s, dir, "documents")
+    val corpus = d.select(col("doc_id"), col("text"))
+      .unionByName(d.select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(substring(col("text"), 1, 300), lit(" entirely different continuation "),
+          col("doc_id").cast("string")).as("text")))
+    val texts = corpus.as[(Long, String)]
+    val cands = SuffixOverlap.candidates(texts, cfg)
+    SuffixOverlap.verify(cands, texts, cfg)
+      .where(col("node_b") - col("node_a") === 1000000L)
+      .select(col("node_a").as("doc_id_a"), col("node_b").as("doc_id_b"))
+  }
+
+  /** Full dedup pipeline (signatures → LSH → verify → CC) over documents;
+    * output = multi-member clusters (cluster_id, size). Oracle: recursive-CTE
+    * label propagation over brute-force Jaccard edges in DuckDB.
+    */
+  private def q22(s: SparkSession, dir: String): DataFrame = {
+    val sigs = docSigs(s, dir)
+    val cands = MinHashLsh.lshCandidates(sigs, cfg)
+    val verified = MinHashLsh.verify(cands, sigs, cfg)
+    val edges = verified.where(col("exact_jaccard") >= cfg.lsh.jaccardThreshold)
+      .select(col("node_a").as("src"), col("node_b").as("dst"))
+    ConnectedComponents.run(edges)
+      .groupBy("component").agg(count(lit(1)).as("size"))
+      .select(col("component").as("cluster_id"), col("size"))
+  }
+
+  // =========================================================================
+  // Text analysis (training-pipeline ops)
+  // =========================================================================
+
+  private def q23(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(col("doc_id"),
+      TextAnalysis.tokenCount(col("text")).as("n_ws_tokens"),
+      TextAnalysis.tokenEstimate(col("text")).as("n_subword_est"))
+
+  private def q24(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), TextAnalysis.qualityMetrics(col("text")).as("m"))
+      .select(col("doc_id"), col("m.n_chars").as("n_chars_m"), col("m.n_tokens").as("n_tokens"),
+        col("m.mean_token_len").as("mean_token_len"), col("m.punct_ratio").as("punct_ratio"),
+        col("m.stopword_ratio").as("stopword_ratio"), col("m.upper_ratio").as("upper_ratio"))
+
+  private def q25(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(col("doc_id"),
+      TextAnalysis.qualityScore(col("text")).as("quality"))
+
+  private def q26(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(col("doc_id"),
+      TextAnalysis.langId(col("text")).as("lang_pred"))
+
+  private def q27(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").groupBy("lang").agg(
+      count(lit(1)).as("n_docs"),
+      min(col("n_chars")).as("min_chars"),
+      max(col("n_chars")).as("max_chars"),
+      sum(col("n_chars")).as("sum_chars"))
+
+  // =========================================================================
+  // Embedding similarity / ANN
+  // =========================================================================
+
+  private def q28(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings").select(col("vec_id"),
+      round(Similarity.l2Norm(col("embedding")), 4).as("l2_norm"))
+
+  private def q29(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    Similarity.bruteForceTopK(e, e.where(col("vec_id") < 10), 5)
+      .select("query_id", "neighbor_id", "rank")
+  }
+
+  private def q30(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    Similarity.lshTopK(e, e.where(col("vec_id") < 10), 5, tables = 24, bitsPerTable = 6)
+      .select("query_id", "neighbor_id", "rank")
+  }
+
+  private def q31(s: SparkSession, dir: String): DataFrame =
+    Similarity.nearDupPairs(t(s, dir, "embeddings"), 0.3, tables = 24, bitsPerTable = 6)
+      .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine"))
+
+  // =========================================================================
+  // Canonical synthesis aggregates (SURVEY.md §2.7)
+  // =========================================================================
+
+  private def q32(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").groupBy("source")
+      .agg(Synthesis.selectLongest(col("text"), col("doc_id")).as("sel"),
+        max(length(col("text"))).as("max_len"))
+      .select(col("source"), col("sel.src").cast("long").as("keep_id"), col("max_len"))
+
+  private def q33(s: SparkSession, dir: String): DataFrame = {
+    val counts = t(s, dir, "documents").groupBy("source", "lang").agg(count(lit(1)).as("n"))
+    counts.groupBy("source").agg(Synthesis.mostFrequent(col("n"), col("lang")).as("top_lang"))
+  }
+
+  private def q34(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").groupBy("source")
+      .agg(array_join(sort_array(collect_set(col("lang"))), ",").as("langs"))
+
+  private def q35(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").groupBy("source")
+      .agg(Synthesis.anyTrue(col("n_chars") > 800, col("doc_id")).as("a"))
+      .select(col("source"), col("a.value").as("has_long_doc"),
+        col("a.src").cast("long").as("first_long_id"))
+
+  /** S11 chunked-export math: 200-row chunks per source. */
+  private def q36(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        ((count(lit(1)) + 199L) / lit(200L)).cast("long").as("n_chunks"))
+
+  // =========================================================================
+  // Reference scorer surface over derived events (rows-only check)
+  // =========================================================================
+
+  private def q37(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val ev = d.select(
+      col("doc_id"),
+      array(struct(
+        date_format(date_add(to_date(lit("2026-01-01")), (col("doc_id") % 60).cast("int")), "yyyy-MM-dd").as("date"),
+        lit(null).cast("string").as("start_date"),
+        lit(null).cast("string").as("end_date"),
+        concat(lpad((col("doc_id") % 24).cast("string"), 2, "0"), lit(":00")).as("start_time")
+      )).as("dates"),
+      (lit(48.0) + (col("doc_id") % 100).cast("double") / 1000.0).as("geo_latitude"),
+      (lit(7.8) + (col("doc_id") % 50).cast("double") / 1000.0).as("geo_longitude"),
+      lit(0.95).as("geo_confidence"),
+      substring(col("text"), 1, 40).as("title"),
+      substring(col("text"), 1, 200).as("description"),
+      lit(null).cast("string").as("short_description"),
+      lit(null).cast("string").as("location_name"),
+      when(col("doc_id") % 2 === 0, "artikel").otherwise("terminliste").as("source_type"),
+      array(col("lang")).as("categories"))
+    val a = ev.where(col("doc_id") % 2 === 0)
+      .select(ev.columns.map(c => col(c).as(c + "_a")): _*)
+    val b = ev.where(col("doc_id") % 2 === 1)
+      .select(ev.columns.map(c => col(c).as(c + "_b")): _*)
+    val pairs = a.join(b, col("doc_id_a") + 1 === col("doc_id_b"))
+    Scorers.scorePairs(pairs, cfg)
+      .select(col("doc_id_a"), col("doc_id_b"),
+        round(col("date_score"), 4).as("date_score"),
+        round(col("geo_score"), 4).as("geo_score"),
+        round(col("title_score"), 4).as("title_score"),
+        round(col("combined_score"), 4).as("combined_score"),
+        col("decision"))
+  }
+
+  // =========================================================================
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_search_ilike" -> (q01 _),
+    "q02_multi_or_filter" -> (q02 _),
+    "q03_date_range_agg" -> (q03 _),
+    "q04_multi_and_contains" -> (q04 _),
+    "q05_sort_paginate" -> (q05 _),
+    "q06_distinct_values" -> (q06 _),
+    "q07_groupby_count" -> (q07 _),
+    "q08_time_series_daily" -> (q08 _),
+    "q09_conditional_agg" -> (q09 _),
+    "q10_event_type_distribution" -> (q10 _),
+    "q11_threshold_sweep" -> (q11 _),
+    "q12_prf_metrics" -> (q12 _),
+    "q13_autolabel_cascade" -> (q13 _),
+    "q14_exact_dedup_groups" -> (q14 _),
+    "q15_dedup_keep_list" -> (q15 _),
+    "q16_fingerprint_sha" -> (q16 _),
+    "q17_cc_exact_dup_clusters" -> (q17 _),
+    "q18_minhash_neardup_pairs" -> (q18 _),
+    "q19_simhash_neardup_pairs" -> (q19 _),
+    "q20_ngram_jaccard_pairs" -> (q20 _),
+    "q21_overlap_pairs" -> (q21 _),
+    "q22_dedup_cluster_sizes" -> (q22 _),
+    "q23_token_count" -> (q23 _),
+    "q24_quality_metrics" -> (q24 _),
+    "q25_quality_score" -> (q25 _),
+    "q26_lang_id" -> (q26 _),
+    "q27_doc_stats" -> (q27 _),
+    "q28_embedding_norms" -> (q28 _),
+    "q29_ann_bruteforce_topk" -> (q29 _),
+    "q30_ann_lsh_topk" -> (q30 _),
+    "q31_embedding_neardup" -> (q31 _),
+    "q32_synth_longest" -> (q32 _),
+    "q33_synth_most_frequent" -> (q33 _),
+    "q34_synth_union_langs" -> (q34 _),
+    "q35_synth_any_true" -> (q35 _),
+    "q36_export_chunks" -> (q36 _),
+    "q37_scored_pairs" -> (q37 _)
+  )
+
+  // ---------------------------------------------------------------------
+  // DuckDB oracles. Omitted for non-SQL-expressible ops (MinHash internals,
+  // SimHash, LSH ANN, fuzz-kernel scoring) → driver rows-only check.
+  // ---------------------------------------------------------------------
+
+  private val exactDupUnion =
+    """SELECT doc_id, text FROM documents
+      | UNION ALL
+      | SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 3 = 0""".stripMargin
+
+  /** Brute-force distinct-3-gram Jaccard over all document pairs — the
+    * DuckDB-side ground truth for the MinHash/LSH queries (SQL mirror of
+    * [[graft.functions.ShingleHashes]] + exact-Jaccard verification).
+    */
+  private val bruteForceJaccard =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      | g AS (SELECT doc_id,
+      |   list_distinct(list_transform(generate_series(1, len(toks)-2),
+      |     i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS grams
+      |  FROM t WHERE len(toks) >= 3)
+      | SELECT a.doc_id ia, b.doc_id ib,
+      |  len(list_intersect(a.grams, b.grams))::DOUBLE /
+      |  len(list_distinct(list_concat(a.grams, b.grams))) AS j
+      | FROM g a JOIN g b ON a.doc_id < b.doc_id""".stripMargin
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_search_ilike" ->
+      "SELECT doc_id, lang, source FROM documents WHERE lower(text) LIKE '%table scan%'",
+    "q02_multi_or_filter" ->
+      "SELECT o_orderkey, o_orderpriority FROM orders WHERE o_orderpriority = '1-URGENT' OR o_orderpriority = '2-HIGH'",
+    "q03_date_range_agg" ->
+      """SELECT o_orderstatus, count(*) AS n_orders,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS sum_price
+        | FROM orders
+        | WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+        | GROUP BY o_orderstatus""".stripMargin,
+    "q04_multi_and_contains" ->
+      "SELECT doc_id FROM documents WHERE text LIKE '%join%' AND text LIKE '%scan%'",
+    "q05_sort_paginate" ->
+      """SELECT l_orderkey, l_linenumber, strftime(l_shipdate, '%Y-%m-%d') AS ship_day
+        | FROM lineitem ORDER BY l_shipdate DESC, l_orderkey, l_linenumber
+        | LIMIT 50 OFFSET 100""".stripMargin,
+    "q06_distinct_values" ->
+      "SELECT DISTINCT event_type FROM events",
+    "q07_groupby_count" ->
+      "SELECT lang, source, count(*) AS n FROM documents GROUP BY lang, source",
+    "q08_time_series_daily" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS day, count(*) AS n,
+        | CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS sum_millis
+        | FROM events GROUP BY 1""".stripMargin,
+    "q09_conditional_agg" ->
+      """SELECT count(*) FILTER (WHERE event_type = 'click') AS n_click,
+        | count(*) FILTER (WHERE value > 0.5) AS n_high_value,
+        | count(*) FILTER (WHERE value IS NULL) AS n_null_value,
+        | count(DISTINCT user_id) AS n_users FROM events""".stripMargin,
+    "q10_event_type_distribution" ->
+      "SELECT event_type, count(*) AS n FROM events GROUP BY event_type",
+    "q11_threshold_sweep" ->
+      """SELECT threshold, count(*) AS n_pairs_above FROM lineitem
+        | JOIN (VALUES (0.01),(0.02),(0.03),(0.04),(0.05),(0.06),(0.07),(0.08)) v(threshold)
+        | ON l_discount >= threshold GROUP BY threshold""".stripMargin,
+    "q12_prf_metrics" ->
+      """WITH d AS (SELECT doc_id, n_chars, lang FROM documents WHERE doc_id < 200),
+        | p AS (SELECT a.doc_id ia, b.doc_id ib,
+        |   abs(a.n_chars - b.n_chars) <= 2 AS pred,
+        |   (a.lang = b.lang AND abs(a.n_chars - b.n_chars) <= 5) AS truth
+        |  FROM d a JOIN d b ON a.doc_id < b.doc_id)
+        | SELECT count(*) FILTER (WHERE pred AND truth) AS tp,
+        |  count(*) FILTER (WHERE pred AND NOT truth) AS fp,
+        |  count(*) FILTER (WHERE NOT pred AND truth) AS fn,
+        |  round((count(*) FILTER (WHERE pred AND truth))::DOUBLE /
+        |        ((count(*) FILTER (WHERE pred AND truth)) + (count(*) FILTER (WHERE pred AND NOT truth))), 6) AS precision,
+        |  round((count(*) FILTER (WHERE pred AND truth))::DOUBLE /
+        |        ((count(*) FILTER (WHERE pred AND truth)) + (count(*) FILTER (WHERE NOT pred AND truth))), 6) AS recall
+        | FROM p""".stripMargin,
+    "q13_autolabel_cascade" ->
+      """SELECT CASE WHEN value >= 0.9 THEN 'same'
+        |  WHEN value >= 0.7 AND event_type = 'click' THEN 'same'
+        |  WHEN value < 0.1 THEN 'different'
+        |  WHEN event_type = 'purchase' AND value < 0.5 THEN 'different'
+        |  ELSE 'skip' END AS label, count(*) AS n
+        | FROM events GROUP BY 1""".stripMargin,
+    "q14_exact_dedup_groups" ->
+      s"""SELECT sha256(text) AS text_hash, count(*) AS dup_count, min(doc_id) AS keep_id
+         | FROM ($exactDupUnion) GROUP BY 1 HAVING count(*) > 1""".stripMargin,
+    "q15_dedup_keep_list" ->
+      s"""SELECT sha256(text) AS text_hash, min(doc_id) AS keep_id,
+         | string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY CAST(doc_id AS VARCHAR)) AS members
+         | FROM ($exactDupUnion) GROUP BY 1""".stripMargin,
+    "q16_fingerprint_sha" ->
+      """SELECT doc_id, sha256(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
+        | FROM documents""".stripMargin,
+    "q17_cc_exact_dup_clusters" ->
+      s"""SELECT doc_id, min(doc_id) OVER (PARTITION BY text) AS cluster_id
+         | FROM ($exactDupUnion)""".stripMargin,
+    "q18_minhash_neardup_pairs" ->
+      s"""WITH p AS ($bruteForceJaccard)
+         | SELECT ia AS doc_id_a, ib AS doc_id_b FROM p WHERE j >= 0.8""".stripMargin,
+    "q20_ngram_jaccard_pairs" ->
+      s"""WITH p AS ($bruteForceJaccard)
+         | SELECT ia AS doc_id_a, ib AS doc_id_b, round(j, 4) AS jaccard FROM p WHERE j >= 0.5""".stripMargin,
+    "q21_overlap_pairs" ->
+      "SELECT doc_id AS doc_id_a, doc_id + 1000000 AS doc_id_b FROM documents WHERE length(text) >= 256",
+    "q22_dedup_cluster_sizes" ->
+      s"""WITH RECURSIVE p AS ($bruteForceJaccard),
+         | e AS (SELECT ia AS src, ib AS dst FROM p WHERE j >= 0.8
+         |       UNION ALL SELECT ib, ia FROM p WHERE j >= 0.8),
+         | reach(node, comp) AS (
+         |   SELECT src, src FROM e
+         |   UNION
+         |   SELECT e.dst, r.comp FROM reach r JOIN e ON e.src = r.node),
+         | lbl AS (SELECT node, min(comp) AS cluster_id FROM reach GROUP BY node)
+         | SELECT cluster_id, count(*) AS size FROM lbl GROUP BY cluster_id""".stripMargin,
+    "q23_token_count" ->
+      """SELECT doc_id,
+        | CASE WHEN length(trim(text)) = 0 THEN 0
+        |      ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_ws_tokens,
+        | CASE WHEN length(trim(text)) = 0 THEN 0
+        |      ELSE len(regexp_extract_all(text, '\w+|[^\w\s]')) END AS n_subword_est
+        | FROM documents""".stripMargin,
+    "q26_lang_id" ->
+      """WITH c AS (
+        | SELECT doc_id,
+        |  ' ' || regexp_replace(lower(text), '\s+', '  ', 'g') || ' ' AS p
+        | FROM documents),
+        | k AS (SELECT doc_id,
+        |  (length(p) - length(replace(p, ' der ', ''))) / 5
+        |   + (length(p) - length(replace(p, ' die ', ''))) / 5
+        |   + (length(p) - length(replace(p, ' das ', ''))) / 5
+        |   + (length(p) - length(replace(p, ' und ', ''))) / 5
+        |   + (length(p) - length(replace(p, ' ist ', ''))) / 5
+        |   + (length(p) - length(replace(p, ' ein ', ''))) / 5
+        |   + (length(p) - length(replace(p, ' mit ', ''))) / 5
+        |   + (length(p) - length(replace(p, ' von ', ''))) / 5 AS de,
+        |  (length(p) - length(replace(p, ' the ', ''))) / 5
+        |   + (length(p) - length(replace(p, ' and ', ''))) / 5
+        |   + (length(p) - length(replace(p, ' is ', ''))) / 4
+        |   + (length(p) - length(replace(p, ' a ', ''))) / 3
+        |   + (length(p) - length(replace(p, ' of ', ''))) / 4
+        |   + (length(p) - length(replace(p, ' to ', ''))) / 4
+        |   + (length(p) - length(replace(p, ' in ', ''))) / 4
+        |   + (length(p) - length(replace(p, ' that ', ''))) / 6 AS en,
+        |  (length(p) - length(replace(p, ' le ', ''))) / 4
+        |   + (length(p) - length(replace(p, ' la ', ''))) / 4
+        |   + (length(p) - length(replace(p, ' et ', ''))) / 4
+        |   + (length(p) - length(replace(p, ' les ', ''))) / 5
+        |   + (length(p) - length(replace(p, ' des ', ''))) / 5
+        |   + (length(p) - length(replace(p, ' un ', ''))) / 4
+        |   + (length(p) - length(replace(p, ' une ', ''))) / 5
+        |   + (length(p) - length(replace(p, ' est ', ''))) / 5 AS fr
+        | FROM c)
+        | SELECT doc_id, CASE WHEN greatest(de, en, fr) = 0 THEN 'und'
+        |  WHEN de = greatest(de, en, fr) THEN 'de'
+        |  WHEN en = greatest(de, en, fr) THEN 'en'
+        |  ELSE 'fr' END AS lang_pred FROM k""".stripMargin,
+    "q27_doc_stats" ->
+      """SELECT lang, count(*) AS n_docs, min(n_chars) AS min_chars,
+        | max(n_chars) AS max_chars, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        | FROM documents GROUP BY lang""".stripMargin,
+    "q29_ann_bruteforce_topk" ->
+      """WITH s AS (
+        | SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |  list_cosine_similarity(q.embedding, c.embedding) AS cos
+        | FROM embeddings q JOIN embeddings c ON q.vec_id < 10 AND q.vec_id <> c.vec_id),
+        | r AS (SELECT query_id, neighbor_id,
+        |  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+        | FROM s)
+        | SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank FROM r WHERE rank <= 5""".stripMargin,
+    "q32_synth_longest" ->
+      """WITH m AS (SELECT source, max(length(text)) AS max_len FROM documents GROUP BY source)
+        | SELECT d.source, min(d.doc_id) AS keep_id, m.max_len
+        | FROM documents d JOIN m ON d.source = m.source AND length(d.text) = m.max_len
+        | GROUP BY d.source, m.max_len""".stripMargin,
+    "q33_synth_most_frequent" ->
+      """WITH c AS (SELECT source, lang, count(*) AS n FROM documents GROUP BY source, lang),
+        | m AS (SELECT source, max(n) AS mn FROM c GROUP BY source)
+        | SELECT c.source, min(c.lang) AS top_lang
+        | FROM c JOIN m ON c.source = m.source AND c.n = m.mn GROUP BY c.source""".stripMargin,
+    "q34_synth_union_langs" ->
+      "SELECT source, string_agg(DISTINCT lang, ',' ORDER BY lang) AS langs FROM documents GROUP BY source",
+    "q35_synth_any_true" ->
+      """SELECT source, bool_or(n_chars > 800) AS has_long_doc,
+        | coalesce(min(doc_id) FILTER (WHERE n_chars > 800), min(doc_id)) AS first_long_id
+        | FROM documents GROUP BY source""".stripMargin,
+    "q36_export_chunks" ->
+      """SELECT source, count(*) AS n_docs, CAST((count(*) + 199) / 200 AS BIGINT) AS n_chunks
+        | FROM documents GROUP BY source""".stripMargin
+  )
 }

@@ -1,0 +1,108 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * token counting, quality scoring, language ID, document fingerprinting.
+  * All pure Column chains (codegen'd, no UDFs) so they run at scan speed
+  * and push through Catalyst untouched.
+  *
+  * Reference analog: the normalize/score stages of
+  * `/root/reference/src/event_dedup/preprocessing/normalizer.py` +
+  * `matching/scorers/` — per-row deterministic text metrics feeding
+  * downstream decisions.
+  */
+object TextAnalysis {
+
+  /** Whitespace token count; empty/blank → 0. */
+  def tokenCount(text: Column): Column =
+    when(length(trim(text)) === 0, 0).otherwise(size(split(trim(text), "\\s+")))
+
+  /** BPE-ish subword token estimate: word chunks + standalone
+    * punctuation/symbols, the usual pre-tokenizer regex shape.
+    */
+  def tokenEstimate(text: Column): Column =
+    when(length(trim(text)) === 0, lit(0L)).otherwise(regexp_count(text, lit("\\w+|[^\\w\\s]")))
+
+  /** Punctuation character count (sentence-final + clause punctuation). */
+  def punctCount(text: Column): Column =
+    length(text) - length(regexp_replace(text, "[.,;:!?]", ""))
+
+  private val StopwordsDe = Seq("der", "die", "das", "und", "ist", "ein", "mit", "von")
+  private val StopwordsEn = Seq("the", "and", "is", "a", "of", "to", "in", "that")
+  private val StopwordsFr = Seq("le", "la", "et", "les", "des", "un", "une", "est")
+
+  /** Occurrences of a word (space-delimited token) inside the text.
+    * Whitespace runs are widened to two spaces first so adjacent tokens
+    * don't share their delimiter — then " word " occurrences are disjoint
+    * and a length-difference count is exact.
+    */
+  private def wordOccurrences(text: Column, word: String): Column = {
+    val padded = concat(lit(" "), regexp_replace(lower(text), "\\s+", "  "), lit(" "))
+    val needle = s" $word "
+    (length(padded) - length(replace(padded, lit(needle), lit("")))) / needle.length
+  }
+
+  /** Stopword hits for a language's stopword list. */
+  def stopwordHits(text: Column, stopwords: Seq[String]): Column =
+    stopwords.map(wordOccurrences(text, _)).reduce(_ + _)
+
+  /** Quality metrics struct: chars, tokens, mean token length, punct ratio,
+    * stopword ratio (EN list), uppercase ratio — the length/punct/stopword
+    * heuristics used to score document quality in webtext pipelines.
+    */
+  def qualityMetrics(text: Column): Column = {
+    val chars = length(text)
+    val toks = tokenCount(text)
+    val punct = punctCount(text)
+    val upper = length(text) - length(regexp_replace(text, "[A-Z]", ""))
+    val stop = stopwordHits(text, StopwordsEn)
+    struct(
+      chars.as("n_chars"),
+      toks.as("n_tokens"),
+      round(chars.cast("double") / greatest(toks, lit(1)), 4).as("mean_token_len"),
+      round(punct.cast("double") / greatest(chars, lit(1)), 6).as("punct_ratio"),
+      round(stop.cast("double") / greatest(toks, lit(1)), 6).as("stopword_ratio"),
+      round(upper.cast("double") / greatest(chars, lit(1)), 6).as("upper_ratio")
+    )
+  }
+
+  /** Composite quality score in [0,1]: penalize too-short/too-long docs,
+    * punctuation-free walls of text, zero stopwords. Deterministic heuristic.
+    */
+  def qualityScore(text: Column): Column = {
+    val m = qualityMetrics(text)
+    val lenScore = when(m.getField("n_tokens") < 10, 0.2)
+      .when(m.getField("n_tokens") > 100000, 0.2)
+      .otherwise(1.0)
+    val stopScore = when(m.getField("stopword_ratio") > 0.01, 1.0).otherwise(0.5)
+    val punctScore = when(m.getField("punct_ratio").between(0.0005, 0.2), 1.0).otherwise(0.7)
+    round(lenScore * 0.4 + stopScore * 0.3 + punctScore * 0.3, 6)
+  }
+
+  /** N-gram/stopword-heuristic language ID over {de,en,fr}; deterministic
+    * argmax with lexicographic tie-break ('de' < 'en' < 'fr'); 'und' if no
+    * evidence.
+    */
+  def langId(text: Column): Column = {
+    val de = stopwordHits(text, StopwordsDe)
+    val en = stopwordHits(text, StopwordsEn)
+    val fr = stopwordHits(text, StopwordsFr)
+    val best = greatest(de, en, fr)
+    when(best === 0, "und")
+      .when(de === best, "de")
+      .when(en === best, "en")
+      .otherwise("fr")
+  }
+
+  /** Content fingerprint: SHA-256 of whitespace-normalized lowercase text —
+    * the canonical doc-identity key for exact dedup across cosmetic noise.
+    */
+  def fingerprintSha(text: Column): Column =
+    sha2(trim(regexp_replace(lower(text), "\\s+", " ")), 256)
+
+  /** 64-bit rolling content fingerprint (cheap join key at scale). */
+  def fingerprint64(text: Column): Column =
+    xxhash64(trim(regexp_replace(lower(text), "\\s+", " ")))
+}
