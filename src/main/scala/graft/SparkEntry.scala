@@ -598,6 +598,9 @@ object SparkEntry {
       """SELECT lang, count(*) AS n_docs, min(n_chars) AS min_chars,
         | max(n_chars) AS max_chars, CAST(sum(n_chars) AS BIGINT) AS sum_chars
         | FROM documents GROUP BY lang""".stripMargin,
+    "q28_embedding_norms" ->
+      """SELECT vec_id, round(sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x))), 4) AS l2_norm
+        | FROM embeddings""".stripMargin,
     "q29_ann_bruteforce_topk" ->
       """WITH s AS (
         | SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
