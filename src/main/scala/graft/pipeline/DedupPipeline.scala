@@ -25,10 +25,17 @@ final class DedupPipeline(
 
   private val ckpt = workDir.map(new Checkpoints(spark, _, cfg.configHash))
 
+  /** Without a checkpoint dir, stages consumed by multiple downstream
+    * branches (extracted ×3, signatures ×3) are persisted — otherwise the
+    * MinHash/SimHash computation re-runs per branch. With a checkpoint dir
+    * the parquet read-back plays this role.
+    */
   private def stage(name: String)(compute: => DataFrame): DataFrame =
     ckpt match {
       case Some(c) => c.stage(name)(compute)
-      case None    => compute
+      case None if name == "extracted" || name == "signatures" =>
+        compute.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      case None => compute
     }
 
   /** Extraction: html bytes → normalized text (byte-identical per url). */

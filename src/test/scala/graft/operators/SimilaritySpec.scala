@@ -1,0 +1,71 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def vecs(n: Int, dim: Int, seed: Long = 7L): Seq[(Long, Array[Float])] = {
+    val rnd = new java.util.SplittableRandom(seed)
+    (0 until n).map(i => (i.toLong, Array.fill(dim)((rnd.nextDouble() * 2 - 1).toFloat)))
+  }
+
+  test("dot/norm/cosine basics") {
+    val df = Seq((Array(1f, 0f, 0f), Array(0f, 1f, 0f)), (Array(1f, 2f, 2f), Array(1f, 2f, 2f)))
+      .toDF("a", "b")
+    val got = df.select(
+      Similarity.dot($"a", $"b").as("dot"),
+      Similarity.l2Norm($"a").as("na"),
+      Similarity.cosine($"a", $"b", Similarity.l2Norm($"a"), Similarity.l2Norm($"b")).as("cos")
+    ).as[(Double, Double, Double)].collect()
+    assert(got(0)._1 == 0.0 && got(0)._3 == 0.0)
+    assert(math.abs(got(1)._2 - 3.0) < 1e-9 && math.abs(got(1)._3 - 1.0) < 1e-9)
+  }
+
+  test("bruteForceTopK: exact, excludes self, deterministic rank ties") {
+    val corpus = vecs(100, 16).toDF("vec_id", "embedding")
+    val got = Similarity.bruteForceTopK(corpus, corpus.where($"vec_id" < 3), 5)
+    val rows = got.as[(Long, Long, Int, Double)].collect()
+    assert(rows.length == 15)
+    assert(!rows.exists(r => r._1 == r._2))
+    // ranks are 1..5 per query, cosine non-increasing within a query
+    val byQ = rows.groupBy(_._1)
+    byQ.values.foreach { rs =>
+      val sorted = rs.sortBy(_._3)
+      assert(sorted.map(_._3).toSeq == (1 to 5))
+      assert(sorted.map(_._4).sliding(2).forall(s => s.head >= s.last - 1e-12))
+    }
+  }
+
+  test("lshTopK results are a subset ranking of true cosine order with decent recall") {
+    val corpus = vecs(300, 16).toDF("vec_id", "embedding")
+    val queries = corpus.where($"vec_id" < 10)
+    val exact = Similarity.bruteForceTopK(corpus, queries, 3)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val approx = Similarity.lshTopK(corpus, queries, 3, tables = 32, bitsPerTable = 4)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.5, s"ANN recall too low: $recall")
+  }
+
+  test("nearDupPairs finds planted duplicate vectors") {
+    val base = vecs(50, 16)
+    val dups = base.take(5).map { case (id, v) => (id + 1000L, v.clone()) }
+    val corpus = (base ++ dups).toDF("vec_id", "embedding")
+    val pairs = Similarity.nearDupPairs(corpus, 0.999, tables = 16, bitsPerTable = 8)
+      .as[(Long, Long, Double)].collect()
+    val found = pairs.map(p => (p._1, p._2)).toSet
+    (0L until 5L).foreach { id => assert(found.contains((id, id + 1000L)), s"missing dup $id") }
+  }
+
+  test("multimodal feature extraction: deterministic stub, real batch plumbing") {
+    val media = Multimodal.syntheticMedia(spark, 50)
+    val feats = Multimodal.extractFeatures(media, dim = 8).collect()
+    assert(feats.length == 50)
+    assert(feats.forall(_.feature.length == 8))
+    val again = Multimodal.extractFeatures(media, dim = 8).collect()
+    assert(feats.sortBy(_.media_id).zip(again.sortBy(_.media_id))
+      .forall { case (a, b) => a.feature.toSeq == b.feature.toSeq })
+  }
+}
