@@ -21,11 +21,15 @@ import graft.pipeline.DedupPipeline
   */
 object Bench {
 
+  /** Identical SQL plans at every parallelism level: shuffle partitions are
+    * fixed (AQE coalesces the small ones), only executor-thread count varies
+    * — the clean analog of "same job, N vs 4N executors".
+    */
   private def session(cores: Int): SparkSession = {
     val s = SparkSession.builder()
       .master(s"local[$cores]")
       .appName(s"graft-bench-$cores")
-      .config("spark.sql.shuffle.partitions", math.max(cores, 8).toString)
+      .config("spark.sql.shuffle.partitions", "64")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
@@ -49,17 +53,21 @@ object Bench {
   private def runPipeline(spark: SparkSession, path: String): Double = {
     val pages = spark.read.parquet(path)
     val t0 = System.nanoTime()
-    val canon = new DedupPipeline(spark, GraftConfig.default).run(pages)
-    canon.write.mode("overwrite").format("noop").save()
-    (System.nanoTime() - t0) / 1e9
+    val p = new DedupPipeline(spark, GraftConfig.default)
+    p.run(pages).write.mode("overwrite").format("noop").save()
+    val secs = (System.nanoTime() - t0) / 1e9
+    p.unpersistAll()
+    secs
   }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    val n: Long = if (sfDir.contains("sf0.1")) 100000L
-      else if (sfDir.contains("sf0.01")) 10000L
+    val n: Long = sys.env.get("SPARK_GRAFT_BENCH_DOCS").map(_.toLong).getOrElse {
+      if (sfDir.contains("sf0.1")) 300000L
+      else if (sfDir.contains("sf0.01")) 30000L
       else 2000L
+    }
 
     // ---- query timings at the driver-requested parallelism ----
     var spark = session(cpus)

@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.config.GraftConfig
+import graft.pipeline.DedupPipeline
+
+/** Ad-hoc per-stage profiler for the dedup pipeline (not part of the driver
+  * contract). Usage: runMain graft.ProfilePipeline <cores> <nDocs>
+  */
+object ProfilePipeline {
+  def main(args: Array[String]): Unit = {
+    val cores = if (args.length > 0) args(0).toInt else 32
+    val n = if (args.length > 1) args(1).toLong else 100000L
+    val spark = SparkSession.builder()
+      .master(s"local[$cores]")
+      .config("spark.sql.shuffle.partitions", math.max(cores, 8).toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val path = s"/tmp/graft_bench_pages_$n"
+    if (!new java.io.File(path + "/_SUCCESS").exists()) {
+      graft.datagen.PagesGen.pages(spark, n).toDF().repartition(64)
+        .write.mode("overwrite").parquet(path)
+    }
+    val pages = spark.read.parquet(path)
+    val cfg = GraftConfig.default
+    val p = new DedupPipeline(spark, cfg)
+
+    def time(name: String)(df: => DataFrame): DataFrame = {
+      val t0 = System.nanoTime()
+      val d = df
+      d.write.mode("overwrite").format("noop").save()
+      println(f"[profile] $name%-12s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      d
+    }
+
+    val ext = time("extracted")(p.extracted(pages))
+    val sigs = time("signatures")(p.signatures(ext))
+    val cands = time("candidates")(p.candidates(sigs))
+    val overl = time("overlaps")(p.overlaps(ext))
+    val decs = time("decisions")(p.decisions(cands, sigs, ext))
+    val lbls = time("labels")(p.labels(sigs, decs))
+    time("canonicals")(p.canonicals(lbls, ext))
+    spark.stop()
+  }
+}

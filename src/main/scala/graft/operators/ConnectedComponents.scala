@@ -50,7 +50,10 @@ object ConnectedComponents {
 
     while (!converged && iter < maxIterations) {
       val ls = largeStar(e)
-      val ss = smallStar(ls).localCheckpoint(true)
+      // lazy checkpoint: the convergence aggregation below is the ONE action
+      // per round and materializes the checkpoint as a side effect — two
+      // driver round-trips per round would double the serial fraction.
+      val ss = smallStar(ls).localCheckpoint(false)
       // decimal sum: ANSI mode would overflow a LongType sum of 64-bit hashes
       val sigRow = ss
         .agg(count(lit(1)).cast("long").as("n"),

@@ -78,4 +78,35 @@ object Decisions {
   /** Per-decision counts (pipeline.py:155-160 tracks the same). */
   def decisionStats(decisions: DataFrame): DataFrame =
     decisions.groupBy("decision", "tier").count()
+
+  /** P8 pair content hash (`ai_matching/cache.py:21-57`): SHA-256 over the
+    * canonical-ordered JSON of the matching-relevant fields. Field order is
+    * fixed by the struct, pair order by (node_a < node_b) upstream.
+    */
+  def pairContentHash(cols: Column*): Column =
+    sha2(to_json(struct(cols: _*)), 256)
+
+  /** A2 decision cache (`ai_matching/cache.py:60-141`): reuse previously
+    * resolved decisions by content hash; only cache misses flow into
+    * `resolve`. Returns (all decisions, new cache entries to append).
+    * The cache is the memoization seam that makes expensive tier-2
+    * resolution idempotent across runs.
+    */
+  def resolveWithCache(
+      pairs: DataFrame, // must carry content_hash
+      cache: DataFrame // (content_hash, decision, tier)
+  )(resolve: DataFrame => DataFrame): (DataFrame, DataFrame) = {
+    val cached = cache.select(col("content_hash"),
+      col("decision").as("cached_decision"), col("tier").as("cached_tier"))
+    val joined = pairs.join(cached, Seq("content_hash"), "left")
+    val hits = joined.where(col("cached_decision").isNotNull)
+      .withColumn("decision", col("cached_decision"))
+      .withColumn("tier", col("cached_tier"))
+      .drop("cached_decision", "cached_tier")
+    val misses = joined.where(col("cached_decision").isNull)
+      .drop("cached_decision", "cached_tier")
+    val resolved = resolve(misses)
+    val newEntries = resolved.select(col("content_hash"), col("decision"), col("tier"))
+    (hits.unionByName(resolved), newEntries)
+  }
 }

@@ -102,6 +102,39 @@ object MinHashLsh {
       .dropDuplicates("node_a", "node_b")
   }
 
+  /** Fused candidate generation: MinHash band keys AND SimHash block keys in
+    * ONE exploded frame → one hot-key pass → one self-join → one dedup.
+    * Same output as union(lshCandidates, simHashCandidates) with tier =
+    * lexical min ('lsh' < 'simhash'), at roughly half the shuffles — on a
+    * real cluster the band self-join is the dominant shuffle, so halving its
+    * count matters more than any per-row cost.
+    */
+  def fusedCandidates(sigs: DataFrame, cfg: GraftConfig): DataFrame = {
+    val d = cfg.simhash.maxHammingDistance
+    val banded = sigs.where(col("minhash").isNotNull)
+      .select(col("node"), col("simhash"),
+        explode(Hashing.bandKeys(col("minhash"), cfg.lsh.bands, cfg.lsh.rowsPerBand)).as("key"))
+      .withColumn("tier", lit("lsh"))
+    val blocked = sigs.where(col("simhash").isNotNull)
+      .select(col("node"), col("simhash"),
+        // salt block keys into a disjoint key space from band keys
+        explode(Hashing.simHashBlocks(col("simhash"), d + 1)).as("raw_key"))
+      .select(col("node"), col("simhash"), xxhash64(col("raw_key"), lit("simblock")).as("key"))
+      .withColumn("tier", lit("simhash"))
+    val keyed = banded.unionByName(blocked)
+    val hotKeys = keyed.groupBy("key").count()
+      .where(col("count") > cfg.lsh.maxBucketSize).select("key")
+    val pruned = keyed.join(broadcast(hotKeys), Seq("key"), "left_anti")
+    val a = pruned.alias("a")
+    val b = pruned.alias("b")
+    a.join(b, col("a.key") === col("b.key") && col("a.node") < col("b.node"))
+      .where(col("a.tier") === col("b.tier")) // a pair matches within one tier's key space
+      .where(col("a.tier") === "lsh" ||
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))) <= d)
+      .groupBy(col("a.node").as("node_a"), col("b.node").as("node_b"))
+      .agg(min(col("a.tier")).as("cand_tier"))
+  }
+
   /** Signature-estimated Jaccard: fraction of agreeing MinHash components.
     * The scale path — at 10^12 docs you verify from the 128-long signature
     * you already carry instead of re-joining full shingle sets.

@@ -137,4 +137,25 @@ object Synthesis {
       .groupBy("component")
       .agg(avg(col("weight")).as("match_confidence"))
   }
+
+  /** G14 enrichment with downgrade prevention
+    * (`canonical/enrichment.py:19-64`): merge freshly synthesized canonicals
+    * into existing ones keyed on `key`; for each text field keep the LONGER
+    * of existing vs fresh (re-synthesis must never shorten a curated field);
+    * version increments on every enrichment pass. MERGE-style incremental
+    * write — only the join, no global rebuild.
+    */
+  def enrich(existing: DataFrame, fresh: DataFrame, key: String, textFields: Seq[String]): DataFrame = {
+    val ex = existing.select((Seq(col(key)) ++
+      textFields.map(f => col(f).as(s"${f}__old")) :+ col("version")): _*)
+    val joined = fresh.join(ex, Seq(key), "left")
+    val withKept = textFields.foldLeft(joined) { (df, f) =>
+      df.withColumn(f,
+        when(col(s"${f}__old").isNotNull &&
+          length(coalesce(col(s"${f}__old"), lit(""))) > length(coalesce(col(f), lit(""))),
+          col(s"${f}__old")).otherwise(col(f)))
+        .drop(s"${f}__old")
+    }
+    withKept.withColumn("version", coalesce(col("version"), lit(0L)) + 1L)
+  }
 }

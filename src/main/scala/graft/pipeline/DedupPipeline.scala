@@ -25,18 +25,27 @@ final class DedupPipeline(
 
   private val ckpt = workDir.map(new Checkpoints(spark, _, cfg.configHash))
 
-  /** Without a checkpoint dir, stages consumed by multiple downstream
-    * branches (extracted ×3, signatures ×3) are persisted — otherwise the
-    * MinHash/SimHash computation re-runs per branch. With a checkpoint dir
-    * the parquet read-back plays this role.
+  /** Without a checkpoint dir, every stage is persisted: each one feeds
+    * multiple downstream branches (extracted ×3, signatures ×3, decisions
+    * via settled/ambiguous unions, overlaps via the tier-2 join) and the
+    * recompute blow-up is multiplicative. With a checkpoint dir the parquet
+    * read-back plays this role. Stage DataFrames are also memoized per
+    * pipeline instance so repeated calls share one persisted plan.
     */
+  private val stageCache = scala.collection.mutable.HashMap.empty[String, DataFrame]
+
   private def stage(name: String)(compute: => DataFrame): DataFrame =
-    ckpt match {
+    stageCache.getOrElseUpdate(name, ckpt match {
       case Some(c) => c.stage(name)(compute)
-      case None if name == "extracted" || name == "signatures" =>
+      case None =>
         compute.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      case None => compute
-    }
+    })
+
+  /** Release persisted stage data (no-checkpoint mode). */
+  def unpersistAll(): Unit = {
+    stageCache.values.foreach(_.unpersist(false))
+    stageCache.clear()
+  }
 
   /** Extraction: html bytes → normalized text (byte-identical per url). */
   def extracted(pages: DataFrame): DataFrame = stage("extracted") {
@@ -52,15 +61,13 @@ final class DedupPipeline(
     MinHashLsh.signatures(extractedDf, cfg)
   }
 
-  /** Candidate pairs from all tiers, deduped with tier priority
-    * lsh > simhash (a pair found by both keeps 'lsh').
+  /** Candidate pairs from the fused MinHash-band + SimHash-block join,
+    * deduped with tier priority lsh > simhash (a pair found by both keeps
+    * 'lsh'). One self-join instead of two — the band join is THE dominant
+    * shuffle at scale.
     */
   def candidates(sigs: DataFrame): DataFrame = stage("candidates") {
-    val lsh = MinHashLsh.lshCandidates(sigs, cfg).withColumn("cand_tier", lit("lsh"))
-    val sim = MinHashLsh.simHashCandidates(sigs, cfg).withColumn("cand_tier", lit("simhash"))
-    lsh.unionByName(sim)
-      .groupBy("node_a", "node_b")
-      .agg(min(col("cand_tier")).as("cand_tier")) // 'lsh' < 'simhash' lexically
+    MinHashLsh.fusedCandidates(sigs, cfg)
   }
 
   /** Long-exact-overlap tier pairs (node_a, node_b, overlap_len). */

@@ -1,0 +1,200 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.functions.TextFunctions
+
+/** JSON event-file ingestion (SURVEY.md §2.1 S1-S7, S10-S12).
+  *
+  * The reference validates event files with a pydantic model tree
+  * (`/root/reference/src/event_dedup/ingestion/json_loader.py:10-101`),
+  * flattens nested location/geo (`ingestion/file_processor.py:68-130`),
+  * normalizes + generates blocking keys at ingest (:222-246), skips
+  * already-seen files by SHA-256 (:187-196), and dead-letters failures
+  * (:259-289). Spark-native re-expression:
+  *
+  *  - declared `StructType` + PERMISSIVE `_corrupt_record` replaces pydantic
+  *    (schema violations land in the dead-letter frame, not exceptions);
+  *  - `input_file_name()` + `sha2` drives idempotency as a left-anti join
+  *    against an ingestion-ledger table — no driver-side file loop;
+  *  - nested→flat is one `select`; the `_sanitizeResult.city` override is a
+  *    `coalesce` (file_processor.py:82-100);
+  *  - everything stays a lazy plan: ingest of 10^6 files is one distributed
+  *    read, not a per-file transaction.
+  */
+object EventIngest {
+
+  /** Declared schema of an event file (json_loader.py:10-78). Extra fields
+    * in files are simply not projected (pydantic `extra="allow"` analog).
+    */
+  val eventFileSchema: StructType = {
+    val geo = StructType(Seq(
+      StructField("longitude", DoubleType), StructField("latitude", DoubleType),
+      StructField("confidence", DoubleType), StructField("country", StringType)))
+    val sanitize = StructType(Seq(
+      StructField("city", StringType), StructField("district", StringType),
+      StructField("confidence", DoubleType)))
+    val location = StructType(Seq(
+      StructField("name", StringType), StructField("city", StringType),
+      StructField("district", StringType), StructField("street", StringType),
+      StructField("street_no", StringType), StructField("zipcode", StringType),
+      StructField("_sanitizeResult", sanitize), StructField("geo", geo)))
+    val eventDate = StructType(Seq(
+      StructField("date", StringType), StructField("start_time", StringType),
+      StructField("end_time", StringType), StructField("end_date", StringType)))
+    val event = StructType(Seq(
+      StructField("id", StringType), StructField("title", StringType),
+      StructField("short_description", StringType), StructField("description", StringType),
+      StructField("highlights", ArrayType(StringType)),
+      StructField("event_dates", ArrayType(eventDate)),
+      StructField("location", location),
+      StructField("source_type", StringType),
+      StructField("categories", ArrayType(StringType)),
+      StructField("is_family_event", BooleanType),
+      StructField("is_child_focused", BooleanType),
+      StructField("admission_free", BooleanType),
+      StructField("confidence_score", DoubleType)))
+    StructType(Seq(
+      StructField("events", ArrayType(event)),
+      StructField("metadata", StructType(Seq(
+        StructField("processedAt", StringType), StructField("sourceKey", StringType)))),
+      StructField("_corrupt_record", StringType)))
+  }
+
+  /** S1/S2: read event files with declared schema; malformed documents land
+    * in `_corrupt_record` (PERMISSIVE) instead of failing the job.
+    * `multiLine` because event files are one JSON document per file.
+    */
+  def readEventFiles(spark: SparkSession, path: String): DataFrame =
+    spark.read
+      .schema(eventFileSchema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .option("multiLine", "true")
+      .json(path)
+      .withColumn("file_name", input_file_name())
+
+  /** S7: the dead-letter frame (reference moves failed files + logs a row,
+    * file_processor.py:259-289).
+    */
+  def deadLetters(files: DataFrame): DataFrame =
+    files.where(col("_corrupt_record").isNotNull || col("events").isNull)
+      .select(col("file_name"), col("_corrupt_record"))
+
+  /** S4: source code = filename prefix before the first underscore
+    * (json_loader.py:120-132).
+    */
+  def sourceCode(fileName: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val base = element_at(split(fileName, "/"), -1)
+    when(base.contains("_"), element_at(split(base, "_"), 1)).otherwise(lit("unknown"))
+  }
+
+  /** S5/S6: explode events, flatten nested location/geo to columns, keeping
+    * `event_dates` nested (ArrayType(Struct) — no child table needed).
+    * `_sanitizeResult.city` overrides `city` (file_processor.py:82-100).
+    */
+  def flattenEvents(files: DataFrame): DataFrame = {
+    val ok = files.where(col("_corrupt_record").isNull && col("events").isNotNull)
+    ok.select(col("file_name"), explode(col("events")).as("e"))
+      .select(
+        col("e.id").as("id"),
+        col("e.title").as("title"),
+        col("e.short_description").as("short_description"),
+        col("e.description").as("description"),
+        col("e.highlights").as("highlights"),
+        col("e.event_dates").as("dates"),
+        col("e.location.name").as("location_name"),
+        coalesce(col("e.location._sanitizeResult.city"), col("e.location.city")).as("location_city"),
+        coalesce(col("e.location._sanitizeResult.district"), col("e.location.district")).as("location_district"),
+        col("e.location.street").as("location_street"),
+        col("e.location.zipcode").as("location_zipcode"),
+        col("e.location.geo.latitude").as("geo_latitude"),
+        col("e.location.geo.longitude").as("geo_longitude"),
+        col("e.location.geo.confidence").as("geo_confidence"),
+        col("e.source_type").as("source_type"),
+        col("e.categories").as("categories"),
+        coalesce(col("e.is_family_event"), lit(false)).as("is_family_event"),
+        coalesce(col("e.is_child_focused"), lit(false)).as("is_child_focused"),
+        coalesce(col("e.admission_free"), lit(false)).as("admission_free"),
+        sourceCode(col("file_name")).as("source_code"),
+        col("file_name"))
+  }
+
+  /** S3: file-hash idempotency as a distributed anti-join — files whose
+    * SHA-256 already appears in the ledger are skipped
+    * (file_processor.py:187-196 semantics without a driver loop).
+    * Input `withHash` must carry `file_hash`; `ledger` has one column
+    * `file_hash`.
+    */
+  def skipIngested(files: DataFrame, ledger: DataFrame): DataFrame =
+    files.join(broadcast(ledger.select("file_hash").distinct()), Seq("file_hash"), "left_anti")
+
+  /** File hash column for a frame carrying the raw file bytes/text. */
+  def fileHash(content: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    sha2(content, 256)
+
+  /** Ingest-time normalization (file_processor.py:222-236): normalized
+    * title/description/city columns via the P1-P5 pipeline.
+    */
+  def withNormalized(
+      events: DataFrame,
+      synonyms: Map[String, String] = Map.empty,
+      dashPrefixes: Seq[String] = Nil,
+      colonPrefixes: Seq[String] = Nil,
+      genericPrefixes: Seq[String] = Nil,
+      cityAliases: Map[String, String] = Map.empty
+  ): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val withText = events
+      .withColumn("title_normalized",
+        TextFunctions.normalizeTitle(col("title"), dashPrefixes, colonPrefixes, genericPrefixes, synonyms))
+      .withColumn("description_normalized",
+        TextFunctions.normalizeText(coalesce(col("description"), col("short_description")), synonyms))
+      .withColumn("city_norm_pre", TextFunctions.normalizeText(col("location_city")))
+    // P3 normalize_city: broadcast alias table + coalesce (normalizer.py:70-110)
+    if (cityAliases.isEmpty) withText.withColumn("city_normalized", col("city_norm_pre")).drop("city_norm_pre")
+    else {
+      val aliasDf = broadcast(cityAliases.toSeq.toDF("city_norm_pre", "city_alias"))
+      withText.join(aliasDf, Seq("city_norm_pre"), "left")
+        .withColumn("city_normalized", coalesce(col("city_alias"), col("city_norm_pre")))
+        .drop("city_norm_pre", "city_alias")
+    }
+  }
+
+  // -------------------------------------------------------------------
+  // Export (S10-S12, `export/service.py`)
+  // -------------------------------------------------------------------
+
+  /** S10: flat canonical row → nested input-format JSON
+    * (`export/service.py:16-74`).
+    */
+  def toInputFormat(canonical: DataFrame): DataFrame =
+    canonical.select(col("id"),
+      to_json(struct(
+        col("id"), col("title"), col("short_description"), col("description"),
+        col("highlights"),
+        col("dates").as("event_dates"),
+        struct(
+          col("location_name").as("name"), col("location_city").as("city"),
+          col("location_street").as("street"), col("location_zipcode").as("zipcode"),
+          struct(col("geo_latitude").as("latitude"), col("geo_longitude").as("longitude"),
+            col("geo_confidence").as("confidence")).as("geo")).as("location"),
+        col("source_type"), col("categories"),
+        col("is_family_event"), col("is_child_focused"), col("admission_free")
+      )).as("event_json"))
+
+  /** S11/S12: timestamp-filtered, id-ordered, 200-row-chunked JSON export
+    * (`export/service.py:77-163`): `maxRecordsPerFile` is the distributed
+    * chunker.
+    */
+  def export(canonical: DataFrame, outDir: String, createdAfter: Option[java.sql.Timestamp] = None,
+      chunkSize: Int = 200): Unit = {
+    val filtered = createdAfter.fold(canonical)(ts => canonical.where(col("created_at") >= lit(ts)))
+    filtered.orderBy("id")
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", chunkSize)
+      .json(outDir)
+  }
+}

@@ -1,0 +1,77 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class ReviewSpec extends SparkSpec {
+  import spark.implicits._
+
+  // cluster 1: {1,2,3} chain 1-2-3; cluster 10: {10,11}; singleton 20
+  private def labels = Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L), (20L, 20L))
+    .toDF("node", "component")
+  private def edges = Seq((1L, 2L, 0.9), (2L, 3L, 0.85), (10L, 11L, 0.95))
+    .toDF("src", "dst", "weight")
+
+  test("Q13 split: detaching a bridge node splits the chain") {
+    val (newLabels, remaining, audit) = Review.splitNode(labels, edges, 2L)
+    val got = newLabels.as[(Long, Long)].collect().toMap
+    // 2 detached; 1 and 3 lose their bridge → three separate clusters
+    assert(got(2L) == 2L && got(1L) == 1L && got(3L) == 3L)
+    // untouched clusters stay
+    assert(got(10L) == 10L && got(11L) == 10L && got(20L) == 20L)
+    assert(remaining.count() == 1) // only the 10-11 edge survives
+    assert(audit.collect()(0).getAs[String]("action") == "split")
+  }
+
+  test("Q13 split: detaching a leaf keeps the rest connected") {
+    val (newLabels, _, _) = Review.splitNode(labels, edges, 3L)
+    val got = newLabels.as[(Long, Long)].collect().toMap
+    assert(got(1L) == 1L && got(2L) == 1L && got(3L) == 3L)
+  }
+
+  test("Q14 merge: clusters relabel to the min target, forced edge recorded") {
+    val (newLabels, newEdges, _) = Review.mergeClusters(labels, edges, 1L, 10L)
+    val got = newLabels.as[(Long, Long)].collect().toMap
+    assert(Seq(1L, 2L, 3L, 10L, 11L).forall(got(_) == 1L))
+    assert(got(20L) == 20L)
+    assert(newEdges.where($"tier" === "forced").count() == 1)
+  }
+
+  test("Q9 review queue: flagged-or-uncertain ordered by confidence, paginated") {
+    val clusters = Seq(
+      (1L, 3L, false, Some(0.5)), // uncertain
+      (2L, 2L, true, Some(0.9)), // flagged
+      (3L, 2L, false, Some(0.95)), // healthy
+      (4L, 1L, false, Option.empty[Double]) // singleton, not queued
+    ).toDF("component", "size", "flagged", "match_confidence")
+    val q = Review.reviewQueue(clusters, page = 1, pageSize = 10)
+      .select("component").as[Long].collect().toSeq
+    assert(q == Seq(1L, 2L), s"got $q")
+  }
+
+  test("A2 decision cache: hits reuse, misses resolve, new entries returned") {
+    val pairs = Seq((1L, 2L, "h1"), (3L, 4L, "h2"), (5L, 6L, "h3"))
+      .toDF("node_a", "node_b", "content_hash")
+    val cache = Seq(("h1", "match", "cached_tier")).toDF("content_hash", "decision", "tier")
+    val (decisions, newEntries) = Decisions.resolveWithCache(pairs, cache) { misses =>
+      misses.withColumn("decision", lit("no_match")).withColumn("tier", lit("resolved"))
+    }
+    val got = decisions.select("content_hash", "decision", "tier")
+      .as[(String, String, String)].collect().map { case (k, v, t) => k -> ((v, t)) }.toMap
+    assert(got("h1") == (("match", "cached_tier")))
+    assert(got("h2") == (("no_match", "resolved")))
+    assert(newEntries.count() == 2)
+  }
+
+  test("G14 enrichment: longer existing text kept, version bumps") {
+    val existing = Seq(("c1", "a much longer existing description", 3L))
+      .toDF("id", "description", "version")
+    val fresh = Seq(("c1", "short new"), ("c2", "brand new cluster"))
+      .toDF("id", "description")
+    val got = Synthesis.enrich(existing, fresh, "id", Seq("description"))
+      .select("id", "description", "version").as[(String, String, Long)].collect()
+      .map { case (k, d, v) => k -> ((d, v)) }.toMap
+    assert(got("c1") == (("a much longer existing description", 4L)))
+    assert(got("c2") == (("brand new cluster", 1L)))
+  }
+}
