@@ -397,6 +397,37 @@ object SparkEntry {
         col("decision"))
   }
 
+  /** Q16 category-subset metrics (`evaluation/harness.py:344-377`): the q12
+    * confusion arithmetic restricted to pairs where EITHER endpoint carries
+    * the subset key (lang as the category analog).
+    */
+  private def q38(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").where(col("doc_id") < 200)
+      .select("doc_id", "n_chars", "lang")
+    val a = d.toDF("id_a", "nc_a", "lang_a")
+    val b = d.toDF("id_b", "nc_b", "lang_b")
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("pred", abs(col("nc_a") - col("nc_b")) <= 2)
+      .withColumn("truth", col("lang_a") === col("lang_b") && abs(col("nc_a") - col("nc_b")) <= 5)
+      .select(explode(array_distinct(array(col("lang_a"), col("lang_b")))).as("lang"),
+        col("pred"), col("truth"))
+      .groupBy("lang")
+      .agg(
+        count(when(col("pred") && col("truth"), 1)).as("tp"),
+        count(when(col("pred") && !col("truth"), 1)).as("fp"),
+        count(when(!col("pred") && col("truth"), 1)).as("fn"))
+  }
+
+  /** A5/decision-stats analog: tier-1 decision distribution over the
+    * documents near-dup pipeline (`matching/pipeline.py:155-160`).
+    */
+  private def q39(s: SparkSession, dir: String): DataFrame = {
+    val sigs = docSigs(s, dir)
+    val cands = MinHashLsh.lshCandidates(sigs, cfg)
+    val verified = MinHashLsh.verify(cands, sigs, cfg)
+    Decisions.decide(verified, cfg).groupBy("decision").agg(count(lit(1)).as("n"))
+  }
+
   // =========================================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -436,7 +467,9 @@ object SparkEntry {
     "q34_synth_union_langs" -> (q34 _),
     "q35_synth_any_true" -> (q35 _),
     "q36_export_chunks" -> (q36 _),
-    "q37_scored_pairs" -> (q37 _)
+    "q37_scored_pairs" -> (q37 _),
+    "q38_prf_by_subset" -> (q38 _),
+    "q39_decision_stats" -> (q39 _)
   )
 
   // ---------------------------------------------------------------------
@@ -628,6 +661,16 @@ object SparkEntry {
         | FROM documents GROUP BY source""".stripMargin,
     "q36_export_chunks" ->
       """SELECT source, count(*) AS n_docs, CAST((count(*) + 199) / 200 AS BIGINT) AS n_chunks
-        | FROM documents GROUP BY source""".stripMargin
+        | FROM documents GROUP BY source""".stripMargin,
+    "q38_prf_by_subset" ->
+      """WITH d AS (SELECT doc_id, n_chars, lang FROM documents WHERE doc_id < 200),
+        | p AS (SELECT unnest(list_distinct([a.lang, b.lang])) AS lang,
+        |   abs(a.n_chars - b.n_chars) <= 2 AS pred,
+        |   (a.lang = b.lang AND abs(a.n_chars - b.n_chars) <= 5) AS truth
+        |  FROM d a JOIN d b ON a.doc_id < b.doc_id)
+        | SELECT lang, count(*) FILTER (WHERE pred AND truth) AS tp,
+        |  count(*) FILTER (WHERE pred AND NOT truth) AS fp,
+        |  count(*) FILTER (WHERE NOT pred AND truth) AS fn
+        | FROM p GROUP BY lang""".stripMargin
   )
 }

@@ -1,0 +1,56 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Fused html→text extraction for the deterministic page wrapper
+  * (SURVEY.md §2.2 P9): UTF-8 decode → `<article>…</article>` slice →
+  * tag strip (each tag → one space) → entity unescape (&lt; &gt; &amp;).
+  *
+  * Replaces a 2-regex + 3-replace Column chain with one indexOf + one char
+  * walk — regex on 1.5 KB html bytes was a top cost of the extraction
+  * stage. Differential-tested against the declarative chain.
+  */
+case class HtmlArticleText(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(input: Any): Any =
+    UTF8String.fromString(
+      HtmlArticleText.extract(new String(input.asInstanceOf[Array[Byte]],
+        java.nio.charset.StandardCharsets.UTF_8)))
+
+  override protected def withNewChildInternal(newChild: Expression): HtmlArticleText =
+    copy(child = newChild)
+  override def prettyName: String = "html_article_text"
+}
+
+object HtmlArticleText {
+
+  def extract(html: String): String = {
+    val open = html.indexOf("<article>")
+    if (open < 0) return ""
+    val start = open + "<article>".length
+    val close = html.lastIndexOf("</article>")
+    if (close < start) return ""
+    val body = html.substring(start, close)
+    // tag strip: every <...> span becomes a single space (regex parity with
+    // regexp_replace(body, "<[^>]*>", " "))
+    val sb = new java.lang.StringBuilder(body.length)
+    var i = 0
+    var inTag = false
+    while (i < body.length) {
+      val c = body.charAt(i)
+      if (inTag) { if (c == '>') inTag = false }
+      else if (c == '<') { inTag = true; sb.append(' ') }
+      else sb.append(c)
+      i += 1
+    }
+    // entity unescape, reference order: &lt; then &gt; then &amp;
+    sb.toString.replace("&lt;", "<").replace("&gt;", ">").replace("&amp;", "&")
+  }
+}

@@ -58,8 +58,21 @@ object TextFunctions {
   /** Full `normalize_text` pipeline (normalizer.py:16-67):
     * lowercase → NFC → umlaut expansion → whitespace collapse → synonyms →
     * punctuation strip (keep hyphen) → trim.
+    *
+    * Implemented by the fused [[NormalizeTextExpr]] (one walk instead of
+    * ~12 string passes — this is the hot per-row stage); the equivalent
+    * declarative chain is kept as [[normalizeTextDeclarative]] and the two
+    * are differential-tested on the generated corpus.
     */
   def normalizeText(c: Column, synonyms: Map[String, String] = Map.empty): Column = {
+    val ordered = synonyms.toSeq.sortBy { case (k, _) => (-k.length, k) }
+    toCol(NormalizeTextExpr(toExpr(c), ordered))
+  }
+
+  /** Reference-shaped declarative chain (built-ins only) — the semantic
+    * specification for [[normalizeText]].
+    */
+  def normalizeTextDeclarative(c: Column, synonyms: Map[String, String] = Map.empty): Column = {
     val lowered = lower(c)
     val nfcd = nfc(lowered)
     val umlauted = expandUmlauts(nfcd)
@@ -112,9 +125,14 @@ object TextFunctions {
   // -------------------------------------------------------------------------
 
   /** html BINARY → body text: decode UTF-8, take <article>…</article>,
-    * strip any residual tags, unescape entities.
+    * strip any residual tags, unescape entities. Fused single-walk
+    * implementation ([[HtmlArticleText]]); declarative spec kept below for
+    * the differential test.
     */
-  def htmlToText(htmlBin: Column): Column = {
+  def htmlToText(htmlBin: Column): Column = toCol(HtmlArticleText(toExpr(htmlBin)))
+
+  /** Built-ins-only reference chain for [[htmlToText]]. */
+  def htmlToTextDeclarative(htmlBin: Column): Column = {
     val s = htmlBin.cast("string")
     val body = regexp_extract(s, "(?s)<article>(.*)</article>", 1)
     val untagged = regexp_replace(body, "<[^>]*>", " ")

@@ -138,6 +138,19 @@ object Synthesis {
       .agg(avg(col("weight")).as("match_confidence"))
   }
 
+  /** G13 tier flag per cluster (`matching/pipeline.py:304-314`): did any
+    * edge inside the cluster come from the second (non-default) tier?
+    * Reference analog: `ai_assisted = any(tier LIKE 'ai%')`.
+    */
+  def tierFlags(labels: DataFrame, decisions: DataFrame): DataFrame = {
+    val lbl = labels.select(col("node"), col("component"))
+    decisions.where(col("decision").isin("match", "overlap_match"))
+      .select(col("node_a").as("src"), col("tier"))
+      .join(lbl.toDF("src", "component"), "src")
+      .groupBy("component")
+      .agg(bool_or(col("tier") =!= "jaccard").as("tier2_assisted"))
+  }
+
   /** G14 enrichment with downgrade prevention
     * (`canonical/enrichment.py:19-64`): merge freshly synthesized canonicals
     * into existing ones keyed on `key`; for each text field keep the LONGER
