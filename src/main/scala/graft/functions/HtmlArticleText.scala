@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types.{DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -14,15 +14,16 @@ import org.apache.spark.unsafe.types.UTF8String
   * stage. Differential-tested against the declarative chain.
   */
 case class HtmlArticleText(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = StringType
   override def nullIntolerant: Boolean = true
 
   override def nullSafeEval(input: Any): Any =
-    UTF8String.fromString(
-      HtmlArticleText.extract(new String(input.asInstanceOf[Array[Byte]],
-        java.nio.charset.StandardCharsets.UTF_8)))
+    HtmlArticleText.extractU8(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HtmlArticleText.extractU8($c)")
 
   override protected def withNewChildInternal(newChild: Expression): HtmlArticleText =
     copy(child = newChild)
@@ -30,6 +31,10 @@ case class HtmlArticleText(child: Expression)
 }
 
 object HtmlArticleText {
+
+  /** Static entry point shared by interpreted and generated code. */
+  def extractU8(bytes: Array[Byte]): UTF8String =
+    UTF8String.fromString(extract(new String(bytes, java.nio.charset.StandardCharsets.UTF_8)))
 
   def extract(html: String): String = {
     val open = html.indexOf("<article>")

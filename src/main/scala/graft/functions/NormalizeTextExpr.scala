@@ -1,7 +1,8 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.types.{DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -24,7 +25,7 @@ import org.apache.spark.unsafe.types.UTF8String
   *    strip, longest key first — that path splits the walk in two.
   */
 case class NormalizeTextExpr(child: Expression, synonyms: Seq[(String, String)])
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = StringType
   override def nullable: Boolean = false
@@ -32,10 +33,20 @@ case class NormalizeTextExpr(child: Expression, synonyms: Seq[(String, String)])
   override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
     val v = child.eval(input)
     if (v == null) UTF8String.EMPTY_UTF8
-    else {
-      val out = NormalizeTextExpr.normalize(v.asInstanceOf[UTF8String].toString, synonyms)
-      UTF8String.fromString(out)
-    }
+    else NormalizeTextExpr.normalizeU8(v.asInstanceOf[UTF8String], synonyms)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val synRef = ctx.addReferenceObj("synonyms", synonyms, "scala.collection.immutable.Seq")
+    val childGen = child.genCode(ctx)
+    ev.copy(
+      code = code"""
+        ${childGen.code}
+        UTF8String ${ev.value} = ${childGen.isNull}
+          ? UTF8String.EMPTY_UTF8
+          : graft.functions.NormalizeTextExpr.normalizeU8(${childGen.value}, $synRef);
+      """,
+      isNull = org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral)
   }
 
   override protected def withNewChildInternal(newChild: Expression): NormalizeTextExpr =
@@ -44,6 +55,10 @@ case class NormalizeTextExpr(child: Expression, synonyms: Seq[(String, String)])
 }
 
 object NormalizeTextExpr {
+
+  /** Static entry point shared by interpreted and generated code. */
+  def normalizeU8(s: UTF8String, synonyms: Seq[(String, String)]): UTF8String =
+    UTF8String.fromString(normalize(s.toString, synonyms))
 
   /** Python `\s` on str: ASCII whitespace + 0x1c-0x1f + 0x85 + Unicode
     * space separators.

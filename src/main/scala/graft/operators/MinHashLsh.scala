@@ -108,6 +108,16 @@ object MinHashLsh {
     * lexical min ('lsh' < 'simhash'), at roughly half the shuffles — on a
     * real cluster the band self-join is the dominant shuffle, so halving its
     * count matters more than any per-row cost.
+    *
+    * **Mega-bucket handling** (skew, north_rule): a bucket of m members
+    * emits m(m-1)/2 pairs — one 10^6-member boilerplate bucket would emit
+    * 5·10^11 pairs and kill the job. Buckets above `cfg.lsh.maxBucketSize`
+    * switch to STAR candidates: every member pairs with the bucket minimum
+    * (O(m) pairs). For the dominant mega-bucket cause — identical/near-
+    * identical boilerplate — verification accepts the star edges and
+    * connected components restores the full cluster transitively; genuinely
+    * heterogeneous mega-buckets degrade recall gracefully instead of
+    * exploding. Counts are observable via [[bucketStats]].
     */
   def fusedCandidates(sigs: DataFrame, cfg: GraftConfig): DataFrame = {
     val d = cfg.simhash.maxHammingDistance
@@ -124,15 +134,28 @@ object MinHashLsh {
     val keyed = banded.unionByName(blocked)
     val hotKeys = keyed.groupBy("key").count()
       .where(col("count") > cfg.lsh.maxBucketSize).select("key")
+
+    // normal buckets: all-pairs within bucket
     val pruned = keyed.join(broadcast(hotKeys), Seq("key"), "left_anti")
     val a = pruned.alias("a")
     val b = pruned.alias("b")
-    a.join(b, col("a.key") === col("b.key") && col("a.node") < col("b.node"))
+    val allPairs = a.join(b, col("a.key") === col("b.key") && col("a.node") < col("b.node"))
       .where(col("a.tier") === col("b.tier")) // a pair matches within one tier's key space
       .where(col("a.tier") === "lsh" ||
         bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))) <= d)
-      .groupBy(col("a.node").as("node_a"), col("b.node").as("node_b"))
-      .agg(min(col("a.tier")).as("cand_tier"))
+      .select(col("a.node").as("node_a"), col("b.node").as("node_b"), col("a.tier").as("cand_tier"))
+
+    // hot buckets: star to the bucket minimum (skew-safe linear fan-out)
+    val hot = keyed.join(broadcast(hotKeys), Seq("key"), "left_semi")
+    val hotMin = hot.groupBy("key").agg(min(col("node")).as("min_node"))
+    val starPairs = hot.join(hotMin, "key")
+      .where(col("node") > col("min_node"))
+      .select(col("min_node").as("node_a"), col("node").as("node_b"),
+        lit("star").as("cand_tier"))
+
+    allPairs.unionByName(starPairs)
+      .groupBy("node_a", "node_b")
+      .agg(min(col("cand_tier")).as("cand_tier")) // 'lsh' < 'simhash' < 'star'
   }
 
   /** Signature-estimated Jaccard: fraction of agreeing MinHash components.
