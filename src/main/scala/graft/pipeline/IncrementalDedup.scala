@@ -1,0 +1,99 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.config.GraftConfig
+import graft.functions.{Hashing, TextFunctions}
+import graft.operators._
+
+/** Incremental near-dup maintenance: fold a batch of NEW pages into an
+  * existing (signatures, edges, labels) state without rescoring the corpus.
+  *
+  * The reference's known scale ceiling is exactly this — it reloads and
+  * rescores the ENTIRE corpus on every arriving file
+  * (`/root/reference/src/event_dedup/worker/orchestrator.py:92-98`;
+  * "incremental blocking" deferred at `.planning/PROJECT.md:58`). At 10^12
+  * docs a full rescore per batch is impossible; the incremental form is:
+  *
+  *   1. signatures of the NEW batch only;
+  *   2. candidates = new×all band-key join (the existing side's bands are
+  *      recomputed from its stored signatures — no shingle re-extraction);
+  *   3. verify new candidate pairs only → new match edges;
+  *   4. CC re-run ONLY on components touched by a new edge; untouched
+  *      labels stream through unchanged.
+  *
+  * Determinism: labels are component minima, so an incremental fold of
+  * A then B yields byte-identical labels to a full run over A ∪ B —
+  * asserted by IncrementalDedupSpec.
+  */
+final class IncrementalDedup(spark: SparkSession, cfg: GraftConfig = GraftConfig.default) {
+
+  /** (signatures, matchEdges, labels) — the persisted dedup state. */
+  final case class State(signatures: DataFrame, edges: DataFrame, labels: DataFrame)
+
+  def emptyState: State = {
+    import spark.implicits._
+    val emptyPages = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](),
+      org.apache.spark.sql.types.StructType.fromDDL(
+        "url STRING, warc_ts TIMESTAMP, html BINARY, text STRING, lang STRING"))
+    State(signaturesOf(emptyPages), Seq.empty[(Long, Long)].toDF("src", "dst"),
+      Seq.empty[(Long, Long)].toDF("node", "component"))
+  }
+
+  private def signaturesOf(pages: DataFrame): DataFrame =
+    MinHashLsh.signatures(
+      pages.select(col("url"), TextFunctions.extractText(col("html")).as("extracted_text")),
+      cfg)
+      .select(col("node"), col("url"), col("extracted_text"), col("shingles"),
+        col("minhash"), col("simhash"))
+
+  /** Fold one new batch into the state. */
+  def step(state: State, newPages: DataFrame): State = {
+    val newSigs = signaturesOf(newPages)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val allSigs = state.signatures.unionByName(newSigs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    // candidates touching the new batch: new-side bands join all-side bands
+    val bandsOf = (sigs: DataFrame) => sigs.where(col("minhash").isNotNull)
+      .select(col("node"),
+        explode(Hashing.bandKeys(col("minhash"), cfg.lsh.bands, cfg.lsh.rowsPerBand)).as("key"))
+    val newBands = bandsOf(newSigs)
+    val allBands = bandsOf(allSigs)
+    val hot = allBands.groupBy("key").count()
+      .where(col("count") > cfg.lsh.maxBucketSize).select("key")
+    val a = newBands.join(broadcast(hot), Seq("key"), "left_anti").alias("a")
+    val b = allBands.join(broadcast(hot), Seq("key"), "left_anti").alias("b")
+    val cands = a.join(b, col("a.key") === col("b.key") && col("a.node") =!= col("b.node"))
+      .select(least(col("a.node"), col("b.node")).as("node_a"),
+        greatest(col("a.node"), col("b.node")).as("node_b"))
+      .dropDuplicates("node_a", "node_b")
+
+    val newEdges = MinHashLsh.verify(cands, allSigs, cfg)
+      .where(col("exact_jaccard") >= cfg.lsh.jaccardThreshold)
+      .select(col("node_a").as("src"), col("node_b").as("dst"))
+    val allEdges = state.edges.unionByName(newEdges).dropDuplicates("src", "dst")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    // components touched by a new edge or containing a new node
+    val touchedComponents = state.labels
+      .join(newEdges.select(col("src").as("node"))
+        .unionByName(newEdges.select(col("dst").as("node"))).distinct(),
+        Seq("node"), "left_semi")
+      .select("component").distinct()
+    val affectedOld = state.labels.join(touchedComponents, Seq("component"), "left_semi")
+      .select("node")
+    val affectedNodes = affectedOld.unionByName(newSigs.select("node")).distinct()
+
+    // subgraph CC on affected nodes only
+    val affectedEdges = allEdges
+      .join(affectedNodes.withColumnRenamed("node", "src"), Seq("src"), "left_semi")
+    val relabeled = ConnectedComponents.labelsWithSingletons(affectedNodes, affectedEdges)
+    val untouched = state.labels.join(touchedComponents, Seq("component"), "left_anti")
+      .select("node", "component")
+    val labels = untouched.unionByName(relabeled.select("node", "component"))
+
+    State(allSigs, allEdges, labels)
+  }
+}
