@@ -96,11 +96,28 @@ final class DedupPipeline(
     ConnectedComponents.labelsWithSingletons(vertices, edges)
   }
 
-  def canonicals(labelsDf: DataFrame, extractedDf: DataFrame): DataFrame = stage("canonicals") {
+  /** Canonicals enriched with the cluster-quality columns: coherence flag
+    * (C3), mean match confidence (G12, NULL for singletons), tier2_assisted
+    * (G13 analog).
+    */
+  def canonicals(labelsDf: DataFrame, extractedDf: DataFrame,
+      decisionsDf: Option[DataFrame] = None): DataFrame = stage("canonicals") {
     val labeled = extractedDf
       .withColumn("node", xxhash64(col("url")))
       .join(labelsDf, "node")
-    Synthesis.canonicals(labeled, cfg)
+    val base = Synthesis.canonicals(labeled, cfg)
+    decisionsDf match {
+      case None => base
+      case Some(decs) =>
+        val edges = Decisions.matchEdges(decs)
+        val quality = Synthesis.coherence(labelsDf, edges, cfg)
+          .select(col("component"), col("flagged"), col("avg_weight").as("match_confidence"))
+        val tiers = Synthesis.tierFlags(labelsDf, decs)
+        base.join(quality, Seq("component"), "left")
+          .join(tiers, Seq("component"), "left")
+          .withColumn("flagged", coalesce(col("flagged"), lit(false)))
+          .withColumn("tier2_assisted", coalesce(col("tier2_assisted"), lit(false)))
+    }
   }
 
   /** Run end-to-end; returns the canonicals DataFrame. */
@@ -110,7 +127,7 @@ final class DedupPipeline(
     val cands = candidates(sigs)
     val decs = decisions(cands, sigs, ext)
     val lbls = labels(sigs, decs)
-    canonicals(lbls, ext)
+    canonicals(lbls, ext, Some(decs))
   }
 
   /** All intermediate stages, for tests/metrics. */
@@ -120,7 +137,7 @@ final class DedupPipeline(
     val cands = candidates(sigs)
     val decs = decisions(cands, sigs, ext)
     val lbls = labels(sigs, decs)
-    val canon = canonicals(lbls, ext)
+    val canon = canonicals(lbls, ext, Some(decs))
     DedupResult(ext, sigs, cands, decs, lbls, canon)
   }
 }
