@@ -65,6 +65,56 @@ object Hashing {
     */
   def simHashBlocks(sim: Column, numBlocks: Int): Column =
     toCol(SimHashBlocks(toExpr(sim), numBlocks))
+
+  /** string → array<long> content-defined sampled window fingerprints
+    * (the suffix/overlap tier's candidate keys).
+    */
+  def cdcFingerprints(text: Column, windowChars: Int, samplingMod: Int): Column =
+    toCol(CdcFingerprints(toExpr(text), windowChars, samplingMod))
+}
+
+/** Content-defined sampled Karp-Rabin fingerprints of W-char windows:
+  * windows whose rolling hash ≡ 0 (mod samplingMod) are kept. Sampling is a
+  * pure function of the window CONTENT, so two documents sharing a long
+  * substring sample identical fingerprints inside it — the distributed
+  * long-exact-overlap candidate key (SURVEY.md §2.3 B10).
+  */
+case class CdcFingerprints(child: Expression, windowChars: Int, samplingMod: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(windowChars >= 8 && samplingMod >= 1)
+
+  private val KrBase = 1000003L
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(input: Any): Any = {
+    val text = input.asInstanceOf[UTF8String].toString
+    val w = windowChars
+    if (text.length < w) return new GenericArrayData(Array.empty[Long])
+    var pow = 1L
+    var p = 0
+    while (p < w - 1) { pow *= KrBase; p += 1 }
+    val out = new java.util.HashSet[java.lang.Long]()
+    var h = 0L
+    var i = 0
+    while (i < w) { h = h * KrBase + text.charAt(i); i += 1 }
+    if (java.lang.Long.remainderUnsigned(h, samplingMod) == 0L) out.add(h)
+    while (i < text.length) {
+      h = (h - text.charAt(i - w) * pow) * KrBase + text.charAt(i)
+      if (java.lang.Long.remainderUnsigned(h, samplingMod) == 0L) out.add(h)
+      i += 1
+    }
+    val arr = new Array[Long](out.size())
+    val it = out.iterator()
+    var j = 0
+    while (it.hasNext) { arr(j) = it.next(); j += 1 }
+    new GenericArrayData(arr)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): CdcFingerprints =
+    copy(child = newChild)
+  override def prettyName: String = "cdc_fingerprints"
 }
 
 /** Distinct hashes of word n-grams over a token array.

@@ -31,34 +31,16 @@ object SuffixOverlap {
   val WindowChars = 64
   private val KrBase = 1000003L
 
-  /** Karp-Rabin fingerprints of sampled windows: (fp, node). */
+  /** Karp-Rabin fingerprints of sampled windows: (fp, node). Pure Column
+    * pipeline — [[graft.functions.CdcFingerprints]] + explode — so the pass
+    * stays in Tungsten rows (no typed-Dataset round trip).
+    */
   def fingerprints(texts: Dataset[(Long, String)], cfg: GraftConfig): DataFrame = {
-    val spark = texts.sparkSession
-    import spark.implicits._
-    val mod = cfg.overlap.samplingMod
-    val w = WindowChars
-    // precomputed base^(w-1) for the rolling update
-    val pow: Long = {
-      var p = 1L; var i = 0
-      while (i < w - 1) { p *= KrBase; i += 1 }
-      p
-    }
-    texts.flatMap { case (node, text) =>
-      if (text.length < w) Iterator.empty
-      else {
-        val out = scala.collection.mutable.HashSet.empty[Long]
-        var h = 0L
-        var i = 0
-        while (i < w) { h = h * KrBase + text.charAt(i); i += 1 }
-        if (java.lang.Long.remainderUnsigned(h, mod) == 0L) out += h
-        while (i < text.length) {
-          h = (h - text.charAt(i - w) * pow) * KrBase + text.charAt(i)
-          if (java.lang.Long.remainderUnsigned(h, mod) == 0L) out += h
-          i += 1
-        }
-        out.iterator.map(fp => (fp, node))
-      }
-    }.toDF("fp", "node")
+    import org.apache.spark.sql.functions.explode
+    texts.toDF("node", "text")
+      .select(col("node"),
+        explode(graft.functions.Hashing.cdcFingerprints(col("text"), WindowChars, cfg.overlap.samplingMod)).as("fp"))
+      .select(col("fp"), col("node"))
   }
 
   /** Candidate pairs from shared fingerprints (canonical order, deduped,

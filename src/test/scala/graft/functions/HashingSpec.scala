@@ -87,6 +87,35 @@ class HashingSpec extends SparkSpec {
     assert(blocks(a).toSeq == blocks(a).toSeq)
   }
 
+  test("pigeonhole completeness: EVERY pair with hamming <= d shares a block key") {
+    val d = 3
+    val rnd = new java.util.SplittableRandom(5)
+    val base = Array.fill(200)(rnd.nextLong())
+    val flipped = base.map { v =>
+      var x = v
+      val flips = rnd.nextInt(d + 1)
+      (0 until flips).foreach(_ => x ^= (1L << rnd.nextInt(64)))
+      x
+    }
+    val df = base.zip(flipped).toSeq.toDF("a", "b")
+      .select(
+        Hashing.simHashBlocks($"a", d + 1).as("ba"),
+        Hashing.simHashBlocks($"b", d + 1).as("bb"))
+      .select(size(array_intersect($"ba", $"bb")).as("shared"))
+    val misses = df.where($"shared" === 0).count()
+    assert(misses == 0)
+  }
+
+  test("cdc fingerprints: shared substrings sample identical fingerprints") {
+    val shared = "x".hashCode.toString * 60 + ("shared content block " * 20)
+    val a = "prefix one " + shared + " tail a"
+    val b = "another beginning " + shared + " different tail"
+    val rows = Seq(a, b).toDF("t")
+      .select(Hashing.cdcFingerprints($"t", 64, 16).as("fp"))
+      .as[Array[Long]].collect()
+    assert(rows(0).intersect(rows(1)).nonEmpty)
+  }
+
   test("shingle hashes are distinct-set semantics") {
     val t = "a b c a b c a b c" // repeated 3-grams
     val n = Seq(t).toDF("t")

@@ -123,4 +123,16 @@ class DedupPipelineSpec extends SparkSpec {
     val ck2 = new Checkpoints(spark, dir, cfg2.configHash)
     assert(!ck2.isComplete("decisions"))
   }
+
+  test("checkpoint crash-consistency: stage data without meta is recomputed") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-crash").toString
+    val ck = new Checkpoints(spark, dir, cfg.configHash)
+    ck.stage("s1") { pages.limit(10).select($"url") }
+    assert(ck.isComplete("s1"))
+    // simulate a crash between data write and meta write: delete only meta
+    java.nio.file.Files.delete(java.nio.file.Paths.get(s"$dir/s1__meta.json"))
+    assert(!ck.isComplete("s1")) // incomplete → the stage will recompute
+    val again = ck.stage("s1") { pages.limit(10).select($"url") }
+    assert(again.count() == 10 && ck.isComplete("s1"))
+  }
 }
