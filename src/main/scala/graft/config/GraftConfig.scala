@@ -105,4 +105,66 @@ final case class GraftConfig(
 
 object GraftConfig {
   val default: GraftConfig = GraftConfig()
+
+  /** Partial-override loading (reference pattern: YAML file + DB override,
+    * `matching/config.py:165-199` — only keys present override defaults).
+    * Key space: dotted paths like `lsh.bands`, `thresholds.high`.
+    */
+  def fromMap(overrides: Map[String, String], base: GraftConfig = default): GraftConfig = {
+    def d(k: String, v: Double): Double = overrides.get(k).map(_.toDouble).getOrElse(v)
+    def i(k: String, v: Int): Int = overrides.get(k).map(_.toInt).getOrElse(v)
+    def l(k: String, v: Long): Long = overrides.get(k).map(_.toLong).getOrElse(v)
+    base.copy(
+      scoring = base.scoring.copy(
+        date = d("scoring.date", base.scoring.date),
+        geo = d("scoring.geo", base.scoring.geo),
+        title = d("scoring.title", base.scoring.title),
+        description = d("scoring.description", base.scoring.description)),
+      thresholds = base.thresholds.copy(
+        high = d("thresholds.high", base.thresholds.high),
+        low = d("thresholds.low", base.thresholds.low),
+        titleVeto = d("thresholds.title_veto", base.thresholds.titleVeto)),
+      geo = base.geo.copy(
+        maxDistanceKm = d("geo.max_distance_km", base.geo.maxDistanceKm),
+        minConfidence = d("geo.min_confidence", base.geo.minConfidence),
+        neutralScore = d("geo.neutral_score", base.geo.neutralScore),
+        venueMatchDistanceKm = d("geo.venue_match_distance_km", base.geo.venueMatchDistanceKm),
+        venueMismatchFactor = d("geo.venue_mismatch_factor", base.geo.venueMismatchFactor)),
+      date = base.date.copy(
+        timeToleranceMinutes = i("date.time_tolerance_minutes", base.date.timeToleranceMinutes),
+        timeCloseMinutes = i("date.time_close_minutes", base.date.timeCloseMinutes),
+        closeFactor = d("date.close_factor", base.date.closeFactor),
+        farFactor = d("date.far_factor", base.date.farFactor),
+        timeGapPenaltyHours = d("date.time_gap_penalty_hours", base.date.timeGapPenaltyHours),
+        timeGapPenaltyFactor = d("date.time_gap_penalty_factor", base.date.timeGapPenaltyFactor)),
+      cluster = base.cluster.copy(
+        maxClusterSize = i("cluster.max_cluster_size", base.cluster.maxClusterSize),
+        minInternalSimilarity = d("cluster.min_internal_similarity", base.cluster.minInternalSimilarity)),
+      lsh = base.lsh.copy(
+        shingleSize = i("lsh.shingle_size", base.lsh.shingleSize),
+        numHashes = i("lsh.num_hashes", base.lsh.numHashes),
+        bands = i("lsh.bands", base.lsh.bands),
+        rowsPerBand = i("lsh.rows_per_band", base.lsh.rowsPerBand),
+        seed = l("lsh.seed", base.lsh.seed),
+        jaccardThreshold = d("lsh.jaccard_threshold", base.lsh.jaccardThreshold),
+        maxBucketSize = i("lsh.max_bucket_size", base.lsh.maxBucketSize)),
+      simhash = base.simhash.copy(
+        maxHammingDistance = i("simhash.max_hamming_distance", base.simhash.maxHammingDistance),
+        seed = l("simhash.seed", base.simhash.seed)),
+      overlap = base.overlap.copy(
+        minOverlapChars = i("overlap.min_overlap_chars", base.overlap.minOverlapChars),
+        samplingMod = i("overlap.sampling_mod", base.overlap.samplingMod),
+        seed = l("overlap.seed", base.overlap.seed)))
+  }
+
+  /** Load overrides from a java.util.Properties file (the sandbox-portable
+    * stand-in for the reference's YAML; same partial-override semantics).
+    */
+  def fromPropertiesFile(path: String, base: GraftConfig = default): GraftConfig = {
+    val p = new java.util.Properties()
+    val in = java.nio.file.Files.newInputStream(java.nio.file.Paths.get(path))
+    try p.load(in) finally in.close()
+    import scala.jdk.CollectionConverters._
+    fromMap(p.asScala.toMap, base)
+  }
 }

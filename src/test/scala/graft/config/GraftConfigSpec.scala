@@ -1,0 +1,33 @@
+package graft.config
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class GraftConfigSpec extends AnyFunSuite {
+
+  test("partial overrides: only present keys change (config.py:165-199 semantics)") {
+    val cfg = GraftConfig.fromMap(Map(
+      "thresholds.high" -> "0.8",
+      "lsh.bands" -> "32",
+      "lsh.rows_per_band" -> "4"))
+    assert(cfg.thresholds.high == 0.8)
+    assert(cfg.thresholds.low == 0.35) // default retained
+    assert(cfg.lsh.bands == 32 && cfg.lsh.rowsPerBand == 4)
+    assert(cfg.scoring.date == 0.30)
+  }
+
+  test("properties-file round trip") {
+    val f = java.nio.file.Files.createTempFile("graft", ".properties")
+    java.nio.file.Files.write(f,
+      "lsh.jaccard_threshold=0.7\nsimhash.max_hamming_distance=2\n".getBytes)
+    val cfg = GraftConfig.fromPropertiesFile(f.toString)
+    assert(cfg.lsh.jaccardThreshold == 0.7)
+    assert(cfg.simhash.maxHammingDistance == 2)
+  }
+
+  test("config hash changes with any override and is stable otherwise") {
+    val a = GraftConfig.default.configHash
+    val b = GraftConfig.fromMap(Map("lsh.bands" -> "32")).configHash
+    assert(a != b)
+    assert(a == GraftConfig().configHash)
+  }
+}
