@@ -29,7 +29,6 @@ import graft.config.GraftConfig
 object SuffixOverlap {
 
   val WindowChars = 64
-  private val KrBase = 1000003L
 
   /** Karp-Rabin fingerprints of sampled windows: (fp, node). Pure Column
     * pipeline — [[graft.functions.CdcFingerprints]] + explode — so the pass
