@@ -27,23 +27,27 @@ object ProfilePipeline {
     }
     val pages = spark.read.parquet(path)
     val cfg = GraftConfig.default
-    val p = new DedupPipeline(spark, cfg)
 
-    def time(name: String)(df: => DataFrame): DataFrame = {
+    val rounds = if (args.length > 2) args(2).toInt else 2
+    for (r <- 1 to rounds) {
+      val p = new DedupPipeline(spark, cfg)
+      def time(name: String)(df: => DataFrame): DataFrame = {
+        val t0 = System.nanoTime()
+        val d = df
+        d.write.mode("overwrite").format("noop").save()
+        println(f"[profile] r$r $name%-12s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+        d
+      }
       val t0 = System.nanoTime()
-      val d = df
-      d.write.mode("overwrite").format("noop").save()
-      println(f"[profile] $name%-12s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
-      d
+      val ext = time("extracted")(p.extracted(pages))
+      val sigs = time("signatures")(p.signatures(ext))
+      val cands = time("candidates")(p.candidates(sigs))
+      val decs = time("decisions")(p.decisions(cands, sigs, ext))
+      val lbls = time("labels")(p.labels(sigs, decs))
+      time("canonicals")(p.canonicals(lbls, ext, Some(decs)))
+      println(f"[profile] r$r TOTAL        ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      p.unpersistAll()
     }
-
-    val ext = time("extracted")(p.extracted(pages))
-    val sigs = time("signatures")(p.signatures(ext))
-    val cands = time("candidates")(p.candidates(sigs))
-    val overl = time("overlaps")(p.overlaps(ext))
-    val decs = time("decisions")(p.decisions(cands, sigs, ext))
-    val lbls = time("labels")(p.labels(sigs, decs))
-    time("canonicals")(p.canonicals(lbls, ext))
     spark.stop()
   }
 }

@@ -592,6 +592,60 @@ object SparkEntry {
         | CASE WHEN length(trim(text)) = 0 THEN 0
         |      ELSE len(regexp_extract_all(text, '\w+|[^\w\s]')) END AS n_subword_est
         | FROM documents""".stripMargin,
+    "q24_quality_metrics" ->
+      """WITH c AS (
+        | SELECT doc_id, text,
+        |  length(text) AS n_chars_m,
+        |  CASE WHEN length(trim(text)) = 0 THEN 0
+        |       ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+        |  length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS punct,
+        |  length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS upper,
+        |  ' ' || regexp_replace(lower(text), '\s+', '  ', 'g') || ' ' AS p
+        | FROM documents),
+        | k AS (SELECT doc_id, n_chars_m, n_tokens, punct, upper,
+        |  (length(p) - length(replace(p, ' the ', ''))) / 5
+        |   + (length(p) - length(replace(p, ' and ', ''))) / 5
+        |   + (length(p) - length(replace(p, ' is ', ''))) / 4
+        |   + (length(p) - length(replace(p, ' a ', ''))) / 3
+        |   + (length(p) - length(replace(p, ' of ', ''))) / 4
+        |   + (length(p) - length(replace(p, ' to ', ''))) / 4
+        |   + (length(p) - length(replace(p, ' in ', ''))) / 4
+        |   + (length(p) - length(replace(p, ' that ', ''))) / 6 AS stop
+        | FROM c)
+        | SELECT doc_id, n_chars_m, n_tokens,
+        |  round(n_chars_m::DOUBLE / greatest(n_tokens, 1), 4) AS mean_token_len,
+        |  round(punct::DOUBLE / greatest(n_chars_m, 1), 6) AS punct_ratio,
+        |  round(stop::DOUBLE / greatest(n_tokens, 1), 6) AS stopword_ratio,
+        |  round(upper::DOUBLE / greatest(n_chars_m, 1), 6) AS upper_ratio
+        | FROM k""".stripMargin,
+    "q25_quality_score" ->
+      """WITH c AS (
+        | SELECT doc_id, text,
+        |  length(text) AS n_chars,
+        |  CASE WHEN length(trim(text)) = 0 THEN 0
+        |       ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+        |  length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS punct,
+        |  ' ' || regexp_replace(lower(text), '\s+', '  ', 'g') || ' ' AS p
+        | FROM documents),
+        | k AS (SELECT doc_id, n_chars, n_tokens,
+        |  round(punct::DOUBLE / greatest(n_chars, 1), 6) AS punct_ratio,
+        |  round((
+        |   (length(p) - length(replace(p, ' the ', ''))) / 5
+        |   + (length(p) - length(replace(p, ' and ', ''))) / 5
+        |   + (length(p) - length(replace(p, ' is ', ''))) / 4
+        |   + (length(p) - length(replace(p, ' a ', ''))) / 3
+        |   + (length(p) - length(replace(p, ' of ', ''))) / 4
+        |   + (length(p) - length(replace(p, ' to ', ''))) / 4
+        |   + (length(p) - length(replace(p, ' in ', ''))) / 4
+        |   + (length(p) - length(replace(p, ' that ', ''))) / 6
+        |  )::DOUBLE / greatest(n_tokens, 1), 6) AS stopword_ratio
+        | FROM c)
+        | SELECT doc_id, round(
+        |  (CASE WHEN n_tokens < 10 THEN 0.2 WHEN n_tokens > 100000 THEN 0.2 ELSE 1.0 END) * 0.4
+        |  + (CASE WHEN stopword_ratio > 0.01 THEN 1.0 ELSE 0.5 END) * 0.3
+        |  + (CASE WHEN punct_ratio BETWEEN 0.0005 AND 0.2 THEN 1.0 ELSE 0.7 END) * 0.3, 6)
+        |  AS quality
+        | FROM k""".stripMargin,
     "q26_lang_id" ->
       """WITH c AS (
         | SELECT doc_id,

@@ -1,11 +1,13 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.catalyst.expressions.XXH64
 import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.Platform
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Hash-sketch expressions for near-duplicate detection (SURVEY.md §2.3
@@ -71,6 +73,114 @@ object Hashing {
     */
   def cdcFingerprints(text: Column, windowChars: Int, samplingMod: Int): Column =
     toCol(CdcFingerprints(toExpr(text), windowChars, samplingMod))
+
+  /** text → struct(n_tokens, shingles, minhash, simhash) in ONE byte-walk —
+    * the fused form of `split` + [[ShingleHashes]] + [[MinHashSig]] +
+    * [[SimHash64]] used by the pipeline's signature stage (the individual
+    * expressions remain the semantic spec; equivalence is property-tested).
+    */
+  def docSignature(text: Column, n: Int, k: Int, lshSeed: Long, simSeed: Long): Column =
+    toCol(DocSignature(toExpr(text), n, k, lshSeed, simSeed))
+}
+
+/** Fused per-document signature sketch: tokenizes on single spaces (byte
+  * 0x20 — exact `split(text, " ")` semantics incl. empty fields, valid
+  * because 0x20 never occurs inside a UTF-8 multibyte sequence) and computes
+  * in one pass over the text bytes exactly what the composition
+  *
+  *   tokens   = split(text, " ")
+  *   n_tokens = if (text == "") 0 else tokens.length
+  *   shingles = ShingleHashes(tokens, n, lshSeed)
+  *   minhash  = MinHashSig(shingles, k, lshSeed)
+  *   simhash  = SimHash64(tokens, simSeed)
+  *
+  * computes in four interpreted trees + three regex splits. MinHash mins are
+  * updated as each NEW distinct shingle appears (duplicates can't change a
+  * min), so no second pass over the shingle array either. NULL input yields
+  * a struct of NULL fields (not a NULL struct) so generators keep the row.
+  */
+case class DocSignature(child: Expression, n: Int, k: Int, lshSeed: Long, simSeed: Long)
+    extends UnaryExpression with CodegenFallback {
+  require(n >= 1 && k >= 1)
+
+  @transient private lazy val (as, bs) = Hashing.permutations(k, lshSeed)
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_tokens", IntegerType, nullable = true),
+    StructField("shingles", ArrayType(LongType, containsNull = false), nullable = true),
+    StructField("minhash", ArrayType(LongType, containsNull = false), nullable = true),
+    StructField("simhash", LongType, nullable = true)))
+  override def nullable: Boolean = false
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) return new GenericInternalRow(Array[Any](null, null, null, null))
+    compute(v.asInstanceOf[UTF8String])
+  }
+
+  override def nullSafeEval(input: Any): Any = compute(input.asInstanceOf[UTF8String])
+
+  private def compute(text: UTF8String): InternalRow = {
+    val base = text.getBaseObject
+    val off = text.getBaseOffset
+    val nb = text.numBytes()
+
+    val votes = new Array[Int](64)
+    val ring = new Array[Long](n) // last n token hashes (lshSeed)
+    val seen = new java.util.HashSet[java.lang.Long]()
+    val shingles = new scala.collection.mutable.ArrayBuffer[Long]()
+    val mins = Array.fill(k)(-1L) // unsigned max
+
+    var tokens = 0
+    var start = 0
+    var i = 0
+    while (i <= nb) {
+      if (i == nb || Platform.getByte(base, off + i) == 0x20) {
+        val hSim = XXH64.hashUnsafeBytes(base, off + start, i - start, simSeed)
+        var b = 0
+        while (b < 64) {
+          if (((hSim >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+        ring(tokens % n) = XXH64.hashUnsafeBytes(base, off + start, i - start, lshSeed)
+        tokens += 1
+        if (tokens >= n) {
+          var h = lshSeed
+          var j = 0
+          while (j < n) {
+            h = XXH64.hashLong(ring((tokens - n + j) % n), h)
+            j += 1
+          }
+          if (seen.add(h)) {
+            shingles += h
+            var p = 0
+            while (p < k) {
+              val hp = as(p) * h + bs(p)
+              if (java.lang.Long.compareUnsigned(hp, mins(p)) < 0) mins(p) = hp
+              p += 1
+            }
+          }
+        }
+        start = i + 1
+      }
+      i += 1
+    }
+
+    var sim = 0L
+    var b = 0
+    while (b < 64) {
+      if (votes(b) > 0) sim |= (1L << b)
+      b += 1
+    }
+    val nTokens: Any = if (nb == 0) 0 else tokens
+    val minhash: Any = if (shingles.isEmpty) null else new GenericArrayData(mins)
+    new GenericInternalRow(Array[Any](
+      nTokens, new GenericArrayData(shingles.toArray), minhash, sim))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): DocSignature =
+    copy(child = newChild)
+  override def prettyName: String = "doc_signature"
 }
 
 /** Content-defined sampled Karp-Rabin fingerprints of W-char windows:

@@ -35,13 +35,17 @@ object MinHashLsh {
     * 128-bit id, the pipeline only needs ids orderable + hashable.
     */
   def signatures(extracted: DataFrame, cfg: GraftConfig, textCol: String = "extracted_text"): DataFrame = {
-    val tokens = split(col(textCol), " ")
+    // One fused byte-walk per document ([[graft.functions.DocSignature]])
+    // instead of split×3 + four interpreted trees; exposed through
+    // `inline(array(...))` so the struct is evaluated exactly ONCE per row
+    // (four GetStructField projections would re-run the sketch 4×: projection
+    // collapse inlines struct fields, and common-subexpression elimination
+    // does not reach into CodegenFallback subtrees).
+    val sig = Hashing.docSignature(col(textCol),
+      cfg.lsh.shingleSize, cfg.lsh.numHashes, cfg.lsh.seed, cfg.simhash.seed)
     extracted
       .withColumn("node", xxhash64(col("url")))
-      .withColumn("n_tokens", when(col(textCol) === "", 0).otherwise(size(tokens)))
-      .withColumn("shingles", Hashing.shingleHashes(tokens, cfg.lsh.shingleSize, cfg.lsh.seed))
-      .withColumn("minhash", Hashing.minHash(col("shingles"), cfg.lsh.numHashes, cfg.lsh.seed))
-      .withColumn("simhash", Hashing.simHash(tokens, cfg.simhash.seed))
+      .select(col("*"), inline(array(sig)))
   }
 
   /** Exploded (node, band_key) table. Band keys are already salted with the
@@ -119,7 +123,13 @@ object MinHashLsh {
     * heterogeneous mega-buckets degrade recall gracefully instead of
     * exploding. Counts are observable via [[bucketStats]].
     */
-  def fusedCandidates(sigs: DataFrame, cfg: GraftConfig): DataFrame = {
+  /** @param materialize persistence hook for the exploded key frame: it is
+    *   consumed by FIVE subplans (hot-key agg, anti-join, both self-join
+    *   sides, the star branch), and without materialization each one re-runs
+    *   the scan + explode — the pipeline passes its stage cache here.
+    */
+  def fusedCandidates(sigs: DataFrame, cfg: GraftConfig,
+      materialize: DataFrame => DataFrame = identity): DataFrame = {
     val d = cfg.simhash.maxHammingDistance
     val banded = sigs.where(col("minhash").isNotNull)
       .select(col("node"), col("simhash"),
@@ -131,7 +141,7 @@ object MinHashLsh {
         explode(Hashing.simHashBlocks(col("simhash"), d + 1)).as("raw_key"))
       .select(col("node"), col("simhash"), xxhash64(col("raw_key"), lit("simblock")).as("key"))
       .withColumn("tier", lit("simhash"))
-    val keyed = banded.unionByName(blocked)
+    val keyed = materialize(banded.unionByName(blocked))
     val hotKeys = keyed.groupBy("key").count()
       .where(col("count") > cfg.lsh.maxBucketSize).select("key")
 

@@ -67,7 +67,8 @@ final class DedupPipeline(
     * shuffle at scale.
     */
   def candidates(sigs: DataFrame): DataFrame = stage("candidates") {
-    MinHashLsh.fusedCandidates(sigs, cfg)
+    // the exploded key frame feeds five subplans — materialize it once
+    MinHashLsh.fusedCandidates(sigs, cfg, keyed => stage("keyed")(keyed))
   }
 
   /** Long-exact-overlap tier pairs (node_a, node_b, overlap_len). */
@@ -79,13 +80,32 @@ final class DedupPipeline(
     SuffixOverlap.verify(cands, texts, cfg)
   }
 
-  def decisions(cands: DataFrame, sigs: DataFrame, extractedDf: DataFrame): DataFrame =
-    stage("decisions") {
-      val verified = MinHashLsh.verify(cands, sigs, cfg)
-      val tier1 = Decisions.decide(verified, cfg)
-      val byNode = extractedDf.select(xxhash64(col("url")).as("node"), col("extracted_text"))
-      Decisions.resolveAmbiguous(tier1, byNode, overlaps(extractedDf), cfg)
+  /** Decisions in two tiers. Tier-1 (Jaccard thresholds) is persisted as its
+    * own stage: three branches read it (ambiguous pairs, the settled/ambiguous
+    * split inside resolveAmbiguous) and each re-run would repeat the
+    * shingle-array verify join — the most expensive per-pair work.
+    *
+    * Tier-2 runs the exact suffix-automaton LCS **only on the ambiguous
+    * band**: `resolveAmbiguous` consults overlaps for ambiguous pairs alone,
+    * so verifying anything else is wasted work — and at 10^12 docs a
+    * corpus-wide fingerprint shuffle would dwarf the band join. Direct LCS on
+    * the ambiguous pairs is also strictly more exact than the sampled
+    * fingerprint candidate pass (no content-sampling misses); the standalone
+    * [[overlaps]] stage keeps the distributed fingerprint path for corpus-wide
+    * syndication scans (q21).
+    */
+  def decisions(cands: DataFrame, sigs: DataFrame, extractedDf: DataFrame): DataFrame = {
+    val tier1 = stage("tier1_decisions") {
+      Decisions.decide(MinHashLsh.verify(cands, sigs, cfg), cfg)
     }
+    stage("decisions") {
+      val byNode = extractedDf.select(xxhash64(col("url")).as("node"), col("extracted_text"))
+      val texts = byNode.as[(Long, String)]
+      val ambPairs = tier1.where(col("decision") === "ambiguous").select("node_a", "node_b")
+      val ambOverlaps = SuffixOverlap.verify(ambPairs, texts, cfg)
+      Decisions.resolveAmbiguous(tier1, byNode, ambOverlaps, cfg)
+    }
+  }
 
   /** Cluster labels over the full vertex universe (singletons preserved,
     * graph_cluster.py:65-66).

@@ -123,4 +123,40 @@ class HashingSpec extends SparkSpec {
     // 7 positions but only 3 distinct 3-grams: (a b c), (b c a), (c a b)
     assert(n == 3)
   }
+
+  test("fused DocSignature == split + ShingleHashes + MinHashSig + SimHash64") {
+    val rnd = new scala.util.Random(7)
+    val vocab = graft.datagen.PagesGen.vocab
+    val texts = Seq(
+      "", " ", "one", "a b", "a  b", "trailing space ", " leading",
+      "münchen straße äöü ss", "a b c a b c a b c"
+    ) ++ (1 to 40).map { _ =>
+      (0 until (1 + rnd.nextInt(300))).map(_ => vocab(rnd.nextInt(vocab.length))).mkString(" ")
+    }
+    val tokens = split($"t", " ")
+    val rows = texts.toDF("t")
+      .select(
+        Hashing.docSignature($"t", 3, 32, 42L, 7L).as("f"),
+        when($"t" === "", 0).otherwise(size(tokens)).as("n_tokens"),
+        Hashing.shingleHashes(tokens, 3, 42L).as("shingles"),
+        Hashing.minHash(Hashing.shingleHashes(tokens, 3, 42L), 32, 42L).as("minhash"),
+        Hashing.simHash(tokens, 7L).as("simhash"))
+      .select(
+        ($"f.n_tokens" <=> $"n_tokens").as("a"),
+        ($"f.shingles" <=> $"shingles").as("b"),
+        ($"f.minhash" <=> $"minhash").as("c"),
+        ($"f.simhash" <=> $"simhash").as("d"))
+      .as[(Boolean, Boolean, Boolean, Boolean)].collect()
+    rows.zip(texts).foreach { case ((a, b, c, d), t) =>
+      assert(a && b && c && d, s"mismatch on '${t.take(40)}': tok=$a sh=$b mh=$c sim=$d")
+    }
+  }
+
+  test("DocSignature: NULL text keeps the row with NULL fields") {
+    val r = Seq[Option[String]](None).toDF("t")
+      .select(col("*"), inline(array(Hashing.docSignature($"t", 3, 16, 42L, 7L))))
+      .select($"n_tokens".isNull, $"shingles".isNull, $"minhash".isNull, $"simhash".isNull)
+      .as[(Boolean, Boolean, Boolean, Boolean)].collect()
+    assert(r.length == 1 && r(0) == ((true, true, true, true)))
+  }
 }
