@@ -23,8 +23,14 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+val sparkHeap = sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
+  // Fixed, pre-touched heap: with a growing heap, 32 executor threads
+  // first-touch new pages concurrently and serialize on the kernel mmap
+  // lock — measured 3-6x slowdowns of whole stages at local[32] in this
+  // sandbox. AlwaysPreTouch moves all heap faults to JVM start (~10 s).
+  s"-Xms$sparkHeap", s"-Xmx$sparkHeap",
+  "-XX:+AlwaysPreTouch",
 )

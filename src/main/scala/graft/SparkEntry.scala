@@ -329,6 +329,12 @@ object SparkEntry {
     Similarity.nearDupPairs(t(s, dir, "embeddings"), 0.3, tables = 24, bitsPerTable = 6)
       .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine"))
 
+  private def q40(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    Similarity.ivfTopK(e, e.where(col("vec_id") < 10), 5, nlist = 16, nprobe = 4)
+      .select("query_id", "neighbor_id", "rank")
+  }
+
   // =========================================================================
   // Canonical synthesis aggregates (SURVEY.md §2.7)
   // =========================================================================
@@ -469,7 +475,8 @@ object SparkEntry {
     "q36_export_chunks" -> (q36 _),
     "q37_scored_pairs" -> (q37 _),
     "q38_prf_by_subset" -> (q38 _),
-    "q39_decision_stats" -> (q39 _)
+    "q39_decision_stats" -> (q39 _),
+    "q40_ann_ivf_topk" -> (q40 _)
   )
 
   // ---------------------------------------------------------------------

@@ -178,10 +178,13 @@ object MinHashLsh {
       lit(0), (acc, x) => acc + x
     ).cast("double") / k
 
-  /** Exact shingle-set Jaccard. */
+  /** Exact shingle-set Jaccard. Inputs are distinct-sets by construction
+    * ([[graft.functions.ShingleHashes]]), so |A∪B| = |A|+|B|-|A∩B| — one
+    * hash-set probe instead of also materializing the union array.
+    */
   def exactJaccard(shA: Column, shB: Column): Column = {
     val inter = size(array_intersect(shA, shB)).cast("double")
-    val uni = size(array_union(shA, shB)).cast("double")
+    val uni = (size(shA) + size(shB)).cast("double") - inter
     when(uni === 0, 0.0).otherwise(inter / uni)
   }
 

@@ -30,6 +30,15 @@ object Similarity {
   def cosine(a: Column, b: Column, normA: Column, normB: Column): Column =
     when(normA === 0.0 || normB === 0.0, 0.0).otherwise(dot(a, b) / (normA * normB))
 
+  /** Fused cosine: one pass over both arrays, no intermediate array
+    * allocation (the declarative form builds a zipped array per pair and
+    * folds it boxed — the dominant cost of every pairwise re-rank). Exactly
+    * the declarative arithmetic (sequential sums, dot/(sqrt(na)*sqrt(nb))),
+    * so results are bit-identical; differential-tested in SimilaritySpec.
+    */
+  def cosineFused(a: Column, b: Column): Column =
+    toCol(CosineSimilarity(toExpr(a), toExpr(b)))
+
   /** Exact brute-force cosine top-k: for each row of `queries`, the k nearest
     * rows of `corpus` (excluding self by id). Deterministic tie-break on
     * neighbor id. Broadcast the query side — Q is small by contract.
@@ -39,12 +48,10 @@ object Similarity {
       idCol: String = "vec_id", vecCol: String = "embedding"
   ): DataFrame = {
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("vec_c"))
-      .withColumn("norm_c", l2Norm(col("vec_c")))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("vec_q"))
-      .withColumn("norm_q", l2Norm(col("vec_q")))
     val scored = c.crossJoin(broadcast(q))
       .where(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", cosine(col("vec_q"), col("vec_c"), col("norm_q"), col("norm_c")))
+      .withColumn("cosine", cosineFused(col("vec_q"), col("vec_c")))
     val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
     scored
       .withColumn("rank", row_number().over(w))
@@ -73,7 +80,126 @@ object Similarity {
     val cands = cb.join(qb, "bucket")
       .where(col("query_id") =!= col("neighbor_id"))
       .dropDuplicates("query_id", "neighbor_id")
-      .withColumn("cosine", cosine(col("vec_q"), col("vec_c"), l2Norm(col("vec_q")), l2Norm(col("vec_c"))))
+      .withColumn("cosine", cosineFused(col("vec_q"), col("vec_c")))
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
+    cands.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "cosine")
+  }
+
+  // -------------------------------------------------------------------
+  // IVF — the inverted-file coarse-quantizer scale path
+  // -------------------------------------------------------------------
+
+  /** Train IVF centroids: spherical k-means on a deterministic bounded
+    * sample (hash-ordered — partitioning-independent). Driver-side by
+    * design: the quantizer is nlist×dim floats and sample-training is the
+    * standard IVF recipe; the CORPUS never leaves the executors.
+    */
+  def trainIvfCentroids(
+      corpus: DataFrame, nlist: Int, iters: Int = 5,
+      sampleCap: Int = 10000, seed: Long = 42L,
+      idCol: String = "vec_id", vecCol: String = "embedding"
+  ): Array[Array[Float]] = {
+    val sample = corpus
+      .select(col(idCol).as("id"), col(vecCol).as("v"))
+      .orderBy(xxhash64(col("id"), lit(seed)), col("id"))
+      .limit(sampleCap)
+      .select("v")
+      .collect()
+      .map(_.getSeq[Float](0).toArray)
+    require(sample.nonEmpty, "cannot train IVF on an empty corpus")
+    kmeansSpherical(sample, nlist, iters, seed)
+  }
+
+  private def unitNorm(v: Array[Float]): Array[Float] = {
+    var s = 0.0
+    var i = 0
+    while (i < v.length) { s += v(i).toDouble * v(i); i += 1 }
+    val n = math.sqrt(s)
+    if (n == 0) v.clone()
+    else {
+      val out = new Array[Float](v.length)
+      i = 0
+      while (i < v.length) { out(i) = (v(i) / n).toFloat; i += 1 }
+      out
+    }
+  }
+
+  /** Deterministic spherical k-means (Lloyd, fixed iterations, seeded init;
+    * empty cells keep their previous centroid).
+    */
+  private def kmeansSpherical(
+      xs: Array[Array[Float]], k: Int, iters: Int, seed: Long
+  ): Array[Array[Float]] = {
+    val vs = xs.map(unitNorm)
+    val n = vs.length
+    val dim = vs(0).length
+    val kk = math.min(k, n)
+    val rnd = new java.util.SplittableRandom(seed)
+    val picked = scala.collection.mutable.LinkedHashSet.empty[Int]
+    while (picked.size < kk) picked += rnd.nextInt(n)
+    var cents = picked.toArray.map(i => vs(i).clone())
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(kk)(new Array[Double](dim))
+      val counts = new Array[Int](kk)
+      var i = 0
+      while (i < n) {
+        val v = vs(i)
+        var best = 0
+        var bestDot = Double.NegativeInfinity
+        var c = 0
+        while (c < kk) {
+          var d = 0.0
+          var j = 0
+          while (j < dim) { d += v(j).toDouble * cents(c)(j); j += 1 }
+          if (d > bestDot) { bestDot = d; best = c }
+          c += 1
+        }
+        var j = 0
+        while (j < dim) { sums(best)(j) += v(j); j += 1 }
+        counts(best) += 1
+        i += 1
+      }
+      cents = Array.tabulate(kk) { c =>
+        if (counts(c) == 0) cents(c)
+        else unitNorm(Array.tabulate(dim)(j => (sums(c)(j) / counts(c)).toFloat))
+      }
+      it += 1
+    }
+    cents
+  }
+
+  /** The `m` nearest IVF cells for a vector (by dot with unit centroids =
+    * cosine order; ties → lower cell index).
+    */
+  def nearestCells(vec: Column, centroids: Array[Array[Float]], m: Int): Column =
+    toCol(NearestCells(toExpr(vec), centroids.map(_.toSeq).toSeq, m))
+
+  /** IVF ANN: corpus bucketed by nearest cell (ONE row per vector — index
+    * size = corpus size, unlike the `tables`-way replicated LSH index);
+    * queries probe their `nprobe` nearest cells; exact cosine re-ranks.
+    * `nprobe = nlist` degenerates to exact brute force — the recall/cost
+    * dial is explicit. The cell join shares the skew posture of every
+    * bucket join here (cells are bounded by k-means balance; a pathological
+    * cell is an AQE skew-join case, not a correctness issue).
+    */
+  def ivfTopK(
+      corpus: DataFrame, queries: DataFrame, k: Int,
+      nlist: Int = 16, nprobe: Int = 4, iters: Int = 5,
+      sampleCap: Int = 10000, seed: Long = 42L,
+      idCol: String = "vec_id", vecCol: String = "embedding"
+  ): DataFrame = {
+    val cents = trainIvfCentroids(corpus, nlist, iters, sampleCap, seed, idCol, vecCol)
+    val cb = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("vec_c"),
+      element_at(nearestCells(col(vecCol), cents, 1), 1).as("cell"))
+    val qb = queries.select(col(idCol).as("query_id"), col(vecCol).as("vec_q"),
+      explode(nearestCells(col(vecCol), cents, math.min(nprobe, cents.length))).as("cell"))
+    val cands = cb.join(qb, "cell")
+      .where(col("query_id") =!= col("neighbor_id"))
+      .dropDuplicates("query_id", "neighbor_id")
+      .withColumn("cosine", cosineFused(col("vec_q"), col("vec_c")))
     val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
     cands.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
@@ -95,10 +221,96 @@ object Similarity {
     a.join(c, Seq("bucket"))
       .where(col("id_a") < col("id_b"))
       .dropDuplicates("id_a", "id_b")
-      .withColumn("cosine", cosine(col("vec_a"), col("vec_b"), l2Norm(col("vec_a")), l2Norm(col("vec_b"))))
+      .withColumn("cosine", cosineFused(col("vec_a"), col("vec_b")))
       .where(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")
   }
+}
+
+/** Single-pass cosine similarity over two float arrays. Zero norm on either
+  * side → 0.0 (matches the declarative `when` guard). Extra elements beyond
+  * the shorter array are ignored (inputs share a dimension by contract).
+  */
+case class CosineSimilarity(
+    left: Expression, right: Expression
+) extends org.apache.spark.sql.catalyst.expressions.BinaryExpression with CodegenFallback {
+
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val va = a.asInstanceOf[ArrayData]
+    val vb = b.asInstanceOf[ArrayData]
+    val lim = math.min(va.numElements(), vb.numElements())
+    var dot = 0.0
+    var na = 0.0
+    var nb = 0.0
+    var i = 0
+    while (i < lim) {
+      val x = va.getFloat(i).toDouble
+      val y = vb.getFloat(i).toDouble
+      dot += x * y
+      na += x * x
+      nb += y * y
+      i += 1
+    }
+    // remaining elements of the longer side still count toward its norm
+    // (parity with l2Norm over the full array)
+    var j = lim
+    while (j < va.numElements()) { val x = va.getFloat(j).toDouble; na += x * x; j += 1 }
+    j = lim
+    while (j < vb.numElements()) { val y = vb.getFloat(j).toDouble; nb += y * y; j += 1 }
+    val sa = math.sqrt(na)
+    val sb = math.sqrt(nb)
+    if (sa == 0.0 || sb == 0.0) 0.0 else dot / (sa * sb)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CosineSimilarity =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "cosine_similarity"
+}
+
+/** The `m` nearest cells by dot product against unit centroids (cosine
+  * order); deterministic tie-break on cell index. Centroids are expression
+  * arguments (tiny — nlist×dim), serialized with the plan like a broadcast.
+  */
+case class NearestCells(child: Expression, centroids: Seq[Seq[Float]], m: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(centroids.nonEmpty && m >= 1)
+
+  @transient private lazy val cents: Array[Array[Float]] = centroids.map(_.toArray).toArray
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val dim = arr.numElements()
+    val v = new Array[Double](dim)
+    var i = 0
+    while (i < dim) { v(i) = arr.getFloat(i).toDouble; i += 1 }
+    val k = cents.length
+    val scores = new Array[Double](k)
+    var c = 0
+    while (c < k) {
+      val cent = cents(c)
+      var d = 0.0
+      var j = 0
+      val lim = math.min(dim, cent.length)
+      while (j < lim) { d += v(j) * cent(j); j += 1 }
+      scores(c) = d
+      c += 1
+    }
+    val mm = math.min(m, k)
+    val idx = Array.range(0, k)
+      .sortBy(i => (-scores(i), i))
+      .take(mm)
+    new GenericArrayData(idx)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NearestCells =
+    copy(child = newChild)
+  override def prettyName: String = "nearest_cells"
 }
 
 /** Random-hyperplane sketch keys for cosine LSH. Hyperplane components are

@@ -57,8 +57,15 @@ final class DedupPipeline(
     )
   }
 
+  /** Signature stage, projected to what downstream consumers read.
+    * `extracted_text`/`warc_ts`/`lang` already live in the `extracted`
+    * stage; persisting them again here would double the cached bytes and
+    * the scan bandwidth of every consumer (candidate join, verify ×2,
+    * vertex universe) — on one box memory bandwidth is the scaling ceiling.
+    */
   def signatures(extractedDf: DataFrame): DataFrame = stage("signatures") {
     MinHashLsh.signatures(extractedDf, cfg)
+      .select("url", "node", "n_tokens", "shingles", "minhash", "simhash")
   }
 
   /** Candidate pairs from the fused MinHash-band + SimHash-block join,

@@ -48,4 +48,37 @@ object PagesStream {
     val triggered = if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer
     triggered.start()
   }
+
+  /** Streaming exact-dedup: emit only the FIRST page per content
+    * fingerprint, with dedup state bounded by the event-time watermark
+    * (`dropDuplicatesWithinWatermark` — state for a fingerprint expires
+    * once the watermark passes it, so state size tracks the window, not
+    * the corpus). The incremental analog of the batch exact-dedup tier
+    * (q14-q17); duplicates arriving later than the watermark delay re-emit
+    * — the documented bounded-state tradeoff, resolved downstream by the
+    * batch pipeline.
+    */
+  def dedupStream(
+      spark: SparkSession,
+      inputDir: String,
+      outputDir: String,
+      checkpointDir: String,
+      watermarkDelay: String = "10 minutes",
+      availableNow: Boolean = true
+  ): StreamingQuery = {
+    val pages = spark.readStream
+      .schema("url STRING, warc_ts TIMESTAMP, html BINARY, text STRING, lang STRING")
+      .parquet(inputDir)
+    val deduped = pages
+      .select(col("url"), col("warc_ts"), col("lang"),
+        TextFunctions.extractText(col("html")).as("extracted_text"))
+      .withColumn("fp", graft.operators.TextAnalysis.fingerprint64(col("extracted_text")))
+      .withWatermark("warc_ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark("fp")
+    val writer = deduped.writeStream
+      .format("parquet")
+      .option("path", outputDir)
+      .option("checkpointLocation", checkpointDir)
+    (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer).start()
+  }
 }

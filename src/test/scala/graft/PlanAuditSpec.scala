@@ -62,6 +62,17 @@ class PlanAuditSpec extends SparkSpec {
     assert(projLine.contains("*("), "extraction Project not codegen'd:\n" + p.take(2000))
   }
 
+  test("signature stage evaluates the fused sketch exactly once per row") {
+    val pages = graft.datagen.PagesGen.pages(spark, 10L).toDF()
+    val cfg = graft.config.GraftConfig.default
+    val p = new graft.pipeline.DedupPipeline(spark, cfg)
+    val plan = p.signatures(p.extracted(pages)).queryExecution.executedPlan.toString
+    // inline(array(doc_signature(...))) must survive as ONE Generate; four
+    // GetStructField projections would re-run the sketch 4x per row
+    val hits = "doc_signature".r.findAllIn(plan).size
+    assert(hits == 1, s"expected one doc_signature in the plan, got $hits:\n" + plan.take(2000))
+  }
+
   test("q05: offset/limit does not global-sort-materialize the full table") {
     val p = planOf("q05_sort_paginate")
     assert(p.contains("TakeOrderedAndProject") || p.contains("GlobalLimit"), p.take(2000))

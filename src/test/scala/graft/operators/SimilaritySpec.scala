@@ -49,6 +49,54 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.5, s"ANN recall too low: $recall")
   }
 
+  test("cosineFused is bit-identical to the declarative cosine chain") {
+    val pairs = vecs(50, 64, seed = 3L).zip(vecs(50, 64, seed = 4L))
+      .map { case ((_, a), (_, b)) => (a, b) } ++
+      Seq((Array.fill(8)(0f), Array.fill(8)(1f)), (Array.empty[Float], Array.empty[Float]))
+    val rows = pairs.toDF("a", "b")
+      .select(
+        Similarity.cosineFused($"a", $"b").as("fused"),
+        Similarity.cosine($"a", $"b",
+          Similarity.l2Norm($"a"), Similarity.l2Norm($"b")).as("decl"))
+      .as[(Double, Double)].collect()
+    rows.foreach { case (f, d) => assert(f == d, s"fused=$f decl=$d") }
+  }
+
+  test("ivfTopK with nprobe == nlist degenerates to exact brute force") {
+    val corpus = vecs(200, 16).toDF("vec_id", "embedding")
+    val queries = corpus.where($"vec_id" < 8)
+    val exact = Similarity.bruteForceTopK(corpus, queries, 5)
+      .select("query_id", "neighbor_id", "rank").as[(Long, Long, Int)].collect().toSet
+    val ivf = Similarity.ivfTopK(corpus, queries, 5, nlist = 8, nprobe = 8)
+      .select("query_id", "neighbor_id", "rank").as[(Long, Long, Int)].collect().toSet
+    assert(ivf == exact)
+  }
+
+  test("ivfTopK recall on clustered data with partial probing") {
+    // 10 well-separated cluster centers, 30 noisy members each
+    val rnd = new java.util.SplittableRandom(11L)
+    val dim = 16
+    val centers = Array.fill(10, dim)((rnd.nextDouble() * 2 - 1).toFloat)
+    val corpus = (0 until 300).map { i =>
+      val c = centers(i % 10)
+      (i.toLong, c.map(x => x + (rnd.nextDouble() * 0.1 - 0.05).toFloat))
+    }.toDF("vec_id", "embedding")
+    val queries = corpus.where($"vec_id" < 10)
+    val exact = Similarity.bruteForceTopK(corpus, queries, 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.ivfTopK(corpus, queries, 5, nlist = 16, nprobe = 4)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact intersect ivf).size.toDouble / exact.size
+    assert(recall >= 0.8, s"IVF recall too low: $recall")
+  }
+
+  test("ivf centroid training is deterministic and partitioning-independent") {
+    val corpus = vecs(150, 8).toDF("vec_id", "embedding")
+    val a = Similarity.trainIvfCentroids(corpus, 8, seed = 5L)
+    val b = Similarity.trainIvfCentroids(corpus.repartition(13), 8, seed = 5L)
+    assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq)
+  }
+
   test("nearDupPairs finds planted duplicate vectors") {
     val base = vecs(50, 16)
     val dups = base.take(5).map { case (id, v) => (id + 1000L, v.clone()) }

@@ -31,4 +31,33 @@ class PagesStreamSpec extends SparkSpec {
     assert(after.where($"minhash".isNotNull).count() >= 140)
     assert(after.columns.contains("batch_id"))
   }
+
+  test("streaming exact-dedup emits first page per fingerprint (≡ batch distinct)") {
+    val base = Files.createTempDirectory("graft-dedup-stream").toString
+    val in = s"$base/in"; val out = s"$base/out"; val ckpt = s"$base/ckpt"
+    new java.io.File(in).mkdirs()
+
+    val pages = PagesGen.pages(spark, 200L).toDF()
+    pages.write.mode("append").parquet(in)
+    PagesStream.dedupStream(spark, in, out, ckpt, watermarkDelay = "1 hour")
+      .awaitTermination()
+
+    val got = spark.read.parquet(out)
+    // batch oracle: distinct content fingerprints over the same pages
+    val expected = pages
+      .select(graft.operators.TextAnalysis.fingerprint64(
+        graft.functions.TextFunctions.extractText($"html")).as("fp"))
+      .distinct().count()
+    assert(got.count() == expected, s"stream=${got.count()} batch=$expected")
+    assert(got.count() < 200, "planted exact dups must collapse")
+    assert(got.select("fp").distinct().count() == got.count())
+
+    // resume: a second batch of NEW pages only adds new fingerprints
+    spark.range(200L, 260L).map(id => PagesGen.pageOf(42L, id)).toDF()
+      .write.mode("append").parquet(in)
+    PagesStream.dedupStream(spark, in, out, ckpt, watermarkDelay = "1 hour")
+      .awaitTermination()
+    val after = spark.read.parquet(out)
+    assert(after.count() > got.count() && after.count() <= got.count() + 60)
+  }
 }
