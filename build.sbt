@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The executor-JVM scaling protocol (local-cluster master in graft.Bench /
+// graft.BenchScale) spawns real executor processes via the Spark launcher,
+// which needs a Spark dist; /opt/spark/conf holds only templates, so no
+// other behavior changes.
+run / envVars ++= Map("SPARK_HOME" -> "/opt/spark", "SPARK_SCALA_VERSION" -> "2.13")
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

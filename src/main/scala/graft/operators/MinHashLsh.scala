@@ -142,11 +142,21 @@ object MinHashLsh {
       .select(col("node"), col("simhash"), xxhash64(col("raw_key"), lit("simblock")).as("key"))
       .withColumn("tier", lit("simhash"))
     val keyed = materialize(banded.unionByName(blocked))
-    val hotKeys = keyed.groupBy("key").count()
+    // The hot-key SET is tiny by construction (keys whose bucket exceeds the
+    // cap) — collect it once: the broadcast build would pull it to the
+    // driver anyway, and knowing it's empty lets the whole anti-join + star
+    // subplan tree be elided from the plan (it usually is on clean corpora;
+    // boilerplate-heavy web crawls are where it kicks in).
+    val spark = sigs.sparkSession
+    val hotArr = keyed.groupBy("key").count()
       .where(col("count") > cfg.lsh.maxBucketSize).select("key")
+      .collect().map(_.getLong(0))
+    import spark.implicits._
+    val hotKeys = broadcast(hotArr.toSeq.toDF("key"))
 
     // normal buckets: all-pairs within bucket
-    val pruned = keyed.join(broadcast(hotKeys), Seq("key"), "left_anti")
+    val pruned =
+      if (hotArr.isEmpty) keyed else keyed.join(hotKeys, Seq("key"), "left_anti")
     val a = pruned.alias("a")
     val b = pruned.alias("b")
     val allPairs = a.join(b, col("a.key") === col("b.key") && col("a.node") < col("b.node"))
@@ -155,15 +165,20 @@ object MinHashLsh {
         bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))) <= d)
       .select(col("a.node").as("node_a"), col("b.node").as("node_b"), col("a.tier").as("cand_tier"))
 
-    // hot buckets: star to the bucket minimum (skew-safe linear fan-out)
-    val hot = keyed.join(broadcast(hotKeys), Seq("key"), "left_semi")
-    val hotMin = hot.groupBy("key").agg(min(col("node")).as("min_node"))
-    val starPairs = hot.join(hotMin, "key")
-      .where(col("node") > col("min_node"))
-      .select(col("min_node").as("node_a"), col("node").as("node_b"),
-        lit("star").as("cand_tier"))
+    val withStar =
+      if (hotArr.isEmpty) allPairs
+      else {
+        // hot buckets: star to the bucket minimum (skew-safe linear fan-out)
+        val hot = keyed.join(hotKeys, Seq("key"), "left_semi")
+        val hotMin = hot.groupBy("key").agg(min(col("node")).as("min_node"))
+        val starPairs = hot.join(hotMin, "key")
+          .where(col("node") > col("min_node"))
+          .select(col("min_node").as("node_a"), col("node").as("node_b"),
+            lit("star").as("cand_tier"))
+        allPairs.unionByName(starPairs)
+      }
 
-    allPairs.unionByName(starPairs)
+    withStar
       .groupBy("node_a", "node_b")
       .agg(min(col("cand_tier")).as("cand_tier")) // 'lsh' < 'simhash' < 'star'
   }

@@ -128,6 +128,32 @@ object Synthesis {
           (col("avg_weight").isNotNull && col("avg_weight") < cfg.cluster.minInternalSimilarity))
   }
 
+  /** Fused per-cluster quality: coherence flag (C3), mean match confidence
+    * (G12) and second-tier flag (G13) in ONE decisions⋈labels join + one
+    * aggregation — [[coherence]]/[[clusterConfidence]]/[[tierFlags]] each
+    * re-join and re-aggregate the same frames, and the pipeline needs all
+    * three per run.
+    */
+  def clusterQuality(labels: DataFrame, decisions: DataFrame, cfg: GraftConfig): DataFrame = {
+    val lbl = labels.select(col("node"), col("component"))
+    val rows = decisions
+      .where(col("decision").isin("match", "overlap_match"))
+      .select(col("node_a").as("src"),
+        when(col("decision") === "match", col("exact_jaccard")).as("match_weight"),
+        (col("tier") =!= "jaccard").as("is_tier2"))
+      .join(lbl.toDF("src", "component"), "src")
+      .groupBy("component")
+      .agg(
+        avg(col("match_weight")).as("match_confidence"),
+        bool_or(col("is_tier2")).as("tier2_assisted"))
+    lbl.groupBy("component").agg(count(lit(1)).as("size"))
+      .join(rows, Seq("component"), "left")
+      .withColumn("flagged",
+        col("size") > cfg.cluster.maxClusterSize ||
+          (col("match_confidence").isNotNull &&
+            col("match_confidence") < cfg.cluster.minInternalSimilarity))
+  }
+
   /** G12 per-cluster confidence: mean match-edge weight; NULL for singletons
     * (`matching/pipeline.py:282-301`).
     */

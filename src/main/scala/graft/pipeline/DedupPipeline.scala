@@ -136,12 +136,9 @@ final class DedupPipeline(
     decisionsDf match {
       case None => base
       case Some(decs) =>
-        val edges = Decisions.matchEdges(decs)
-        val quality = Synthesis.coherence(labelsDf, edges, cfg)
-          .select(col("component"), col("flagged"), col("avg_weight").as("match_confidence"))
-        val tiers = Synthesis.tierFlags(labelsDf, decs)
+        val quality = Synthesis.clusterQuality(labelsDf, decs, cfg)
+          .select(col("component"), col("flagged"), col("match_confidence"), col("tier2_assisted"))
         base.join(quality, Seq("component"), "left")
-          .join(tiers, Seq("component"), "left")
           .withColumn("flagged", coalesce(col("flagged"), lit(false)))
           .withColumn("tier2_assisted", coalesce(col("tier2_assisted"), lit(false)))
     }

@@ -124,4 +124,36 @@ class SynthesisSpec extends SparkSpec {
     assert(math.abs(got(1L) - 0.7) < 1e-12)
     assert(!got.contains(9L))
   }
+
+  test("clusterQuality == coherence + clusterConfidence + tierFlags (fused pass)") {
+    val cfg = GraftConfig.default
+    val labels = ((1L to 20L).map(i => (i, 100L)) ++
+      Seq((30L, 200L), (31L, 200L), (40L, 300L), (41L, 300L), (50L, 400L)))
+      .toDF("node", "component")
+    val decisions = (
+      (1L until 20L).map(i => (i, i + 1, 0.9, "match", "jaccard")) ++
+        Seq((30L, 31L, 0.2, "match", "jaccard")) ++
+        Seq((40L, 41L, 0.95, "match", "exact_text")) ++
+        Seq((40L, 50L, 0.0, "overlap_match", "overlap")) ++ // tier flag only
+        Seq((30L, 40L, 0.1, "no_match", "jaccard")) // ignored entirely
+      ).toDF("node_a", "node_b", "exact_jaccard", "decision", "tier")
+    val fused = Synthesis.clusterQuality(labels, decisions, cfg)
+      .select($"component", $"flagged", $"match_confidence", $"tier2_assisted")
+      .as[(Long, Boolean, Option[Double], Option[Boolean])].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+
+    val edges = Decisions.matchEdges(decisions)
+    val coh = Synthesis.coherence(labels, edges, cfg)
+      .select($"component", $"flagged", $"avg_weight")
+      .as[(Long, Boolean, Option[Double])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    val tiers = Synthesis.tierFlags(labels, decisions)
+      .as[(Long, Boolean)].collect().toMap
+
+    coh.keys.foreach { c =>
+      assert(fused(c)._1 == coh(c)._1, s"flagged mismatch at $c")
+      assert(fused(c)._2 == coh(c)._2, s"confidence mismatch at $c")
+      assert(fused(c)._3.getOrElse(false) == tiers.getOrElse(c, false), s"tier mismatch at $c")
+    }
+  }
 }
