@@ -98,8 +98,12 @@ object Bench {
     // docs in ~26 s at 32 cores, which is latency-bound — the 8-core run
     // looks artificially close. 2M docs puts both levels back in the
     // compute-bound regime the north_rule's N-vs-4N criterion is about.
+    // 1M shares one generated corpus with the scaling block and keeps a
+    // cold full bench run (gen + queries + headline + 5 scaling runs)
+    // around ~13 min; 2M raises throughput ~2% more (BENCH.md) but costs
+    // a second corpus gen and doubles every run.
     val n: Long = sys.env.get("SPARK_GRAFT_BENCH_DOCS").map(_.toLong).getOrElse {
-      if (sfDir.contains("sf0.1")) 2000000L
+      if (sfDir.contains("sf0.1")) 1000000L
       else if (sfDir.contains("sf0.01")) 30000L
       else 2000L
     }
