@@ -61,6 +61,10 @@ final case class LshConfig(
     seed: Long = 42L,
     /** exact-Jaccard verification threshold for a "match" edge */
     jaccardThreshold: Double = 0.8,
+    /** lower bound of the ambiguous band routed to tier-2 (reference analog:
+      * `matching/config.py:119-120` resolver bounds); pairs below are
+      * no_match outright. Clamped to jaccardThreshold if set above it. */
+    ambiguousLow: Double = 0.5,
     /** candidate band buckets larger than this are salted/capped; tracked in metrics */
     maxBucketSize: Int = 2000
 )
@@ -147,6 +151,7 @@ object GraftConfig {
         rowsPerBand = i("lsh.rows_per_band", base.lsh.rowsPerBand),
         seed = l("lsh.seed", base.lsh.seed),
         jaccardThreshold = d("lsh.jaccard_threshold", base.lsh.jaccardThreshold),
+        ambiguousLow = d("lsh.ambiguous_low", base.lsh.ambiguousLow),
         maxBucketSize = i("lsh.max_bucket_size", base.lsh.maxBucketSize)),
       simhash = base.simhash.copy(
         maxHammingDistance = i("simhash.max_hamming_distance", base.simhash.maxHammingDistance),

@@ -24,7 +24,7 @@ object Decisions {
     */
   def tier1(exactJaccard: Column, cfg: GraftConfig): Column = {
     val high = cfg.lsh.jaccardThreshold
-    val low = math.min(0.5, high)
+    val low = math.min(cfg.lsh.ambiguousLow, high)
     when(exactJaccard >= high, "match")
       .when(exactJaccard >= low, "ambiguous")
       .otherwise("no_match")

@@ -13,6 +13,8 @@ class GraftConfigSpec extends AnyFunSuite {
     assert(cfg.thresholds.low == 0.35) // default retained
     assert(cfg.lsh.bands == 32 && cfg.lsh.rowsPerBand == 4)
     assert(cfg.scoring.date == 0.30)
+    assert(cfg.lsh.ambiguousLow == 0.5) // default retained
+    assert(GraftConfig.fromMap(Map("lsh.ambiguous_low" -> "0.6")).lsh.ambiguousLow == 0.6)
   }
 
   test("properties-file round trip") {
