@@ -435,6 +435,72 @@ object SparkEntry {
   }
 
   // =========================================================================
+  // Web-corpus hygiene (CCNet/Gopher-style training-pipeline ops)
+  // =========================================================================
+
+  /** Multi-line corpus fixture: every doc gets a universal cookie-banner
+    * line, its own text, a promo footer shared by ~n/7 docs, and a "pair"
+    * line shared by n/250 docs. Line-frequency boilerplate removal at
+    * minDocs=10 must drop the banner+promo and keep the rest (at sf0.01:
+    * pair lines live in 2 docs each). The oracle recomputes the same
+    * frequencies in SQL — no closed-form shortcuts.
+    */
+  private def q41(s: SparkSession, dir: String): DataFrame = {
+    val corpus = t(s, dir, "documents").select(col("doc_id"),
+      concat_ws("\n",
+        lit("cookie banner accept all cookies"),
+        col("text"),
+        concat(lit("promo "), (col("doc_id") % 7).cast("string")),
+        concat(lit("pair "), (col("doc_id") % 250).cast("string"))).as("text"))
+    WebCorpus.removeBoilerplate(corpus, "doc_id", "text", minDocs = 10L)
+      .where(col("n_kept_lines") > 0)
+      .select(col("doc_id"), col("clean_text"), col("n_kept_lines"))
+  }
+
+  private def q42(s: SparkSession, dir: String): DataFrame =
+    WebCorpus.repetitionMetrics(t(s, dir, "documents"), "doc_id", "text")
+      .select("doc_id", "dup_token_ratio", "top_bigram_frac")
+
+  /** URL canonicalization over a synthesized messy-URL column (tracking
+    * params, uppercase host, default port, fragment). The canonical form is
+    * closed-form in doc_id/source, which is what the oracle checks.
+    */
+  private def q43(s: SparkSession, dir: String): DataFrame = {
+    val withUrl = t(s, dir, "documents").select(col("doc_id"),
+      concat(lit("https://WWW."), col("source"), lit(".Example.COM:443/Docs/"),
+        col("doc_id").cast("string"),
+        lit("?utm_source=feed&b=2&ref=x&a=1#frag")).as("url"))
+    withUrl.select(col("doc_id"),
+      UrlOps.canonicalize(col("url")).as("canonical_url"),
+      UrlOps.host(col("url")).as("host"),
+      UrlOps.registeredDomain(col("url")).as("registered_domain"),
+      UrlOps.pathDepth(col("url")).as("path_depth"))
+  }
+
+  private def q44(s: SparkSession, dir: String): DataFrame =
+    WebCorpus.topNgrams(t(s, dir, "documents"), "text", n = 3, k = 20)
+
+  /** Exact per-lang length quantiles via integer rank arithmetic
+    * (rank = floor((n-1)*P/100)+1 over a total order) — engine-portable, no
+    * float-interpolation ambiguity. At 10^12 rows the same query swaps in
+    * `approx_percentile` (sketch-mergeable); the exact form stays as its
+    * oracle at test scale.
+    */
+  private def q45(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("lang").orderBy(col("n_chars"), col("doc_id"))
+    def pick(p: Int): Column =
+      floor(((col("n") - 1) * p).cast("double") / 100.0).cast("long") + 1
+    t(s, dir, "documents")
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("lang")))
+      .groupBy("lang")
+      .agg(
+        max(when(col("rn") === pick(50), col("n_chars"))).as("p50"),
+        max(when(col("rn") === pick(90), col("n_chars"))).as("p90"),
+        max(when(col("rn") === pick(99), col("n_chars"))).as("p99"))
+  }
+
+  // =========================================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_search_ilike" -> (q01 _),
@@ -476,7 +542,12 @@ object SparkEntry {
     "q37_scored_pairs" -> (q37 _),
     "q38_prf_by_subset" -> (q38 _),
     "q39_decision_stats" -> (q39 _),
-    "q40_ann_ivf_topk" -> (q40 _)
+    "q40_ann_ivf_topk" -> (q40 _),
+    "q41_line_dedup" -> (q41 _),
+    "q42_repetition_metrics" -> (q42 _),
+    "q43_url_canonicalize" -> (q43 _),
+    "q44_top_ngrams" -> (q44 _),
+    "q45_length_quantiles" -> (q45 _)
   )
 
   // ---------------------------------------------------------------------
@@ -723,6 +794,53 @@ object SparkEntry {
     "q36_export_chunks" ->
       """SELECT source, count(*) AS n_docs, CAST((count(*) + 199) / 200 AS BIGINT) AS n_chunks
         | FROM documents GROUP BY source""".stripMargin,
+    "q41_line_dedup" ->
+      """WITH lines AS (
+        |  SELECT doc_id, 1 AS pos, 'cookie banner accept all cookies' AS ln FROM documents
+        |  UNION ALL SELECT doc_id, 2, text FROM documents
+        |  UNION ALL SELECT doc_id, 3, 'promo ' || CAST(doc_id % 7 AS VARCHAR) FROM documents
+        |  UNION ALL SELECT doc_id, 4, 'pair ' || CAST(doc_id % 250 AS VARCHAR) FROM documents),
+        | freq AS (SELECT ln, count(DISTINCT doc_id) AS df FROM lines GROUP BY ln),
+        | kept AS (SELECT l.doc_id, l.pos, l.ln FROM lines l JOIN freq f ON l.ln = f.ln WHERE f.df < 10)
+        | SELECT doc_id, string_agg(ln, chr(10) ORDER BY pos) AS clean_text,
+        |  count(*) AS n_kept_lines
+        | FROM kept GROUP BY doc_id""".stripMargin,
+    "q42_repetition_metrics" ->
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        |  FROM documents WHERE length(trim(text)) > 0),
+        | base AS (SELECT doc_id, len(toks) AS n_toks, len(list_distinct(toks)) AS n_distinct FROM t),
+        | bg AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(toks)-1),
+        |   i -> toks[i] || ' ' || toks[i+1])) AS g FROM t WHERE len(toks) >= 2),
+        | bgc AS (SELECT doc_id, g, count(*) AS n FROM bg GROUP BY doc_id, g),
+        | top AS (SELECT doc_id, max(n) AS max_n, sum(n) AS tot FROM bgc GROUP BY doc_id)
+        | SELECT b.doc_id,
+        |  round(1 - n_distinct::DOUBLE / n_toks, 6) AS dup_token_ratio,
+        |  round(coalesce(max_n::DOUBLE / tot, 0), 6) AS top_bigram_frac
+        | FROM base b LEFT JOIN top USING (doc_id)""".stripMargin,
+    "q43_url_canonicalize" ->
+      """SELECT doc_id,
+        | 'https://' || source || '.example.com/Docs/' || CAST(doc_id AS VARCHAR) || '?a=1&b=2' AS canonical_url,
+        | source || '.example.com' AS host,
+        | 'example.com' AS registered_domain,
+        | 2 AS path_depth
+        | FROM documents""".stripMargin,
+    "q44_top_ngrams" ->
+      """WITH t AS (SELECT regexp_split_to_array(trim(text), '\s+') AS toks
+        |  FROM documents WHERE length(trim(text)) > 0),
+        | g AS (SELECT unnest(list_transform(generate_series(1, len(toks)-2),
+        |   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS gram
+        |  FROM t WHERE len(toks) >= 3)
+        | SELECT gram, count(*) AS n FROM g GROUP BY gram
+        | ORDER BY n DESC, gram LIMIT 20""".stripMargin,
+    "q45_length_quantiles" ->
+      """WITH r AS (SELECT lang, n_chars,
+        |  row_number() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS rn,
+        |  count(*) OVER (PARTITION BY lang) AS n FROM documents)
+        | SELECT lang,
+        |  max(CASE WHEN rn = CAST(floor(((n-1)*50)::DOUBLE / 100.0) AS BIGINT) + 1 THEN n_chars END) AS p50,
+        |  max(CASE WHEN rn = CAST(floor(((n-1)*90)::DOUBLE / 100.0) AS BIGINT) + 1 THEN n_chars END) AS p90,
+        |  max(CASE WHEN rn = CAST(floor(((n-1)*99)::DOUBLE / 100.0) AS BIGINT) + 1 THEN n_chars END) AS p99
+        | FROM r GROUP BY lang""".stripMargin,
     "q38_prf_by_subset" ->
       """WITH d AS (SELECT doc_id, n_chars, lang FROM documents WHERE doc_id < 200),
         | p AS (SELECT unnest(list_distinct([a.lang, b.lang])) AS lang,

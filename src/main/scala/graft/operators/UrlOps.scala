@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** URL normalization for web-crawl corpora. The input table is keyed by
+  * `url` (BASELINE.json input_hint) and the node identity of the whole
+  * dedup graph is `xxhash64(url)` — so two crawls of the same page under
+  * cosmetically different URLs (tracking params, fragments, default ports,
+  * host case) MUST collapse to one canonical key before anything else runs,
+  * exactly as the reference canonicalizes record identity at ingest
+  * (`/root/reference/src/event_dedup/ingestion/file_processor.py:68-130`
+  * flattens and sanitizes before the id-keyed insert).
+  *
+  * All pure `Column` chains over Spark's codegen'd `parse_url` /
+  * regexp/array kernels — scan-speed, no UDFs, safe inside any projection.
+  */
+object UrlOps {
+
+  /** Lowercased host with any leading "www." stripped. */
+  def host(url: Column): Column =
+    regexp_replace(lower(parse_url(url, lit("HOST"))), "^www\\.", "")
+
+  /** Registered-domain heuristic: last two labels of the host. (A real
+    * deployment substitutes the public-suffix list; the operator shape —
+    * a per-row projection feeding host-level grouping — is identical.)
+    */
+  def registeredDomain(url: Column): Column =
+    regexp_extract(host(url), "([^.]+\\.[^.]+)$", 1)
+
+  /** Path segment count ("/a/b/c" → 3; "/" and "" → 0). */
+  def pathDepth(url: Column): Column = {
+    val p = parse_url(url, lit("PATH"))
+    size(filter(split(coalesce(p, lit("")), "/"), s => length(s) > 0))
+  }
+
+  private val TrackingParams =
+    Seq("utm_[^=]*", "ref", "fbclid", "gclid", "mc_cid", "mc_eid", "igshid")
+
+  /** Canonical URL: lowercase scheme+host, strip "www.", drop default ports
+    * (:80 http / :443 https), drop the fragment, remove tracking query
+    * params, sort surviving params, drop a bare trailing "?". The path keeps
+    * its case (paths are case-sensitive on most origins).
+    */
+  def canonicalize(url: Column): Column = {
+    val scheme = lower(regexp_extract(url, "^([A-Za-z][A-Za-z0-9+.-]*):", 1))
+    val h = host(url)
+    val port = regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*:(\\d+)", 1)
+    val keepPort = port =!= "" &&
+      !((scheme === "http" && port === "80") || (scheme === "https" && port === "443"))
+    val path = coalesce(parse_url(url, lit("PATH")), lit(""))
+    val trackingRe = "^(" + TrackingParams.mkString("|") + ")="
+    val params = filter(
+      split(coalesce(parse_url(url, lit("QUERY")), lit("")), "&"),
+      p => length(p) > 0 && !p.rlike(trackingRe))
+    val query = array_join(array_sort(params), "&")
+    concat(
+      scheme, lit("://"), h,
+      when(keepPort, concat(lit(":"), port)).otherwise(lit("")),
+      path,
+      when(length(query) > 0, concat(lit("?"), query)).otherwise(lit("")))
+  }
+}

@@ -1,0 +1,122 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus-hygiene operators for web-scale training-data pipelines, in the
+  * CCNet / Gopher tradition: global line-frequency boilerplate removal,
+  * within-document repetition metrics, and corpus-wide n-gram statistics.
+  *
+  * Reference analog: the reference removes cross-record noise with
+  * normalization + prefix stripping before matching
+  * (`/root/reference/src/event_dedup/preprocessing/prefix_stripper.py:46-86`,
+  * `normalizer.py:16-67`) — per-document cleanup driven by corpus-level
+  * knowledge (its configured prefix list is hand-curated boilerplate). At
+  * web scale the boilerplate list cannot be curated by hand; it is COMPUTED
+  * as the set of lines whose document frequency exceeds a threshold, which
+  * is exactly what [[removeBoilerplate]] does.
+  *
+  * Scale posture: everything here is explode → hash-aggregate → hash-join —
+  * no driver-side state, no collect. The line-frequency table is keyed by
+  * a 64-bit line hash (not the line text) so the shuffle carries 8-byte
+  * keys; the frequency join is a plain shuffle join that AQE can convert or
+  * skew-split. Reassembly is one `groupBy(doc)` over (pos, line) structs.
+  */
+object WebCorpus {
+
+  /** Exploded (id, pos, line) frame: one row per line per document.
+    * Lines are '\n'-separated; order is preserved through `pos`.
+    */
+  def lineFrame(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_ref"), posexplode(split(col(textCol), "\n")))
+      .toDF("doc_ref", "pos", "line")
+
+  /** Document frequency per distinct line: how many distinct documents
+    * contain the line. Joinable by the 64-bit `line_hash` so downstream
+    * shuffles never carry the line text twice.
+    */
+  def lineDocFrequency(lines: DataFrame): DataFrame =
+    lines.groupBy(xxhash64(col("line")).as("line_hash"))
+      .agg(countDistinct(col("doc_ref")).as("doc_freq"))
+
+  /** CCNet-style boilerplate removal: drop every line that appears in at
+    * least `minDocs` distinct documents (cookie banners, nav bars, footers),
+    * reassemble the survivors in original order. Returns one row per input
+    * document: (idCol, clean_text, n_kept_lines); documents whose every
+    * line was boilerplate come back with clean_text = "" and
+    * n_kept_lines = 0 (they stay visible so a quality gate downstream can
+    * drop them deliberately, never silently).
+    */
+  def removeBoilerplate(docs: DataFrame, idCol: String, textCol: String, minDocs: Long): DataFrame = {
+    val lines = lineFrame(docs, idCol, textCol)
+    val freq = lineDocFrequency(lines)
+    val kept = lines
+      .withColumn("line_hash", xxhash64(col("line")))
+      .join(freq, "line_hash")
+      .where(col("doc_freq") < minDocs)
+    val reassembled = kept
+      .groupBy(col("doc_ref"))
+      .agg(
+        array_join(transform(array_sort(collect_list(struct(col("pos"), col("line")))),
+          s => s.getField("line")), "\n").as("clean_text"),
+        count(lit(1)).as("n_kept_lines"))
+    val ids = docs.select(col(idCol).as("id_base"))
+    ids.join(reassembled, ids("id_base") === reassembled("doc_ref"), "left")
+      .select(col("id_base").as(idCol),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("n_kept_lines"), lit(0L)).as("n_kept_lines"))
+  }
+
+  /** Whitespace tokens; blank text → empty array (not [""]). */
+  private def toks(text: Column): Column =
+    when(length(trim(text)) === 0, array().cast("array<string>"))
+      .otherwise(split(trim(text), "\\s+"))
+
+  /** Adjacent token bigrams as "a b" strings (empty for < 2 tokens). */
+  def bigrams(text: Column): Column = ngrams(text, 2)
+
+  /** Adjacent token n-grams as space-joined strings. */
+  def ngrams(text: Column, n: Int): Column = {
+    val t = toks(text)
+    val m = size(t) - (n - 1)
+    val shifted = (0 until n).map(i => slice(t, lit(i + 1), greatest(m, lit(0))))
+    shifted.reduce((acc, next) => zip_with(acc, next, (a, b) => concat(a, lit(" "), b)))
+  }
+
+  /** Gopher-style within-document repetition metrics:
+    * `dup_token_ratio` = fraction of tokens that are repeats of an earlier
+    * token (1 - distinct/total); `top_bigram_frac` = share of the most
+    * frequent bigram among all bigram occurrences. High values flag
+    * machine-generated / keyword-stuffed pages that near-dup sketches
+    * cannot catch (they are unique documents, just degenerate ones).
+    *
+    * Distributed shape: the per-doc bigram mode goes through
+    * explode → two hash aggregations keyed by doc id (map-side partials
+    * apply) rather than any per-row quadratic array scan.
+    */
+  def repetitionMetrics(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = toks(col(textCol))
+    val base = docs
+      .where(length(trim(col(textCol))) > 0)
+      .select(col(idCol), size(t).as("n_toks"), size(array_distinct(t)).as("n_distinct"))
+    val bg = docs.select(col(idCol).as("doc_ref"), explode(bigrams(col(textCol))).as("g"))
+    val top = bg.groupBy(col("doc_ref"), col("g")).count()
+      .groupBy(col("doc_ref"))
+      .agg(max(col("count")).as("max_n"), sum(col("count")).as("tot"))
+    base.join(top, base(idCol) === top("doc_ref"), "left")
+      .select(base(idCol),
+        round(lit(1.0) - col("n_distinct").cast("double") / col("n_toks"), 6).as("dup_token_ratio"),
+        round(coalesce(col("max_n").cast("double") / col("tot"), lit(0.0)), 6).as("top_bigram_frac"))
+  }
+
+  /** Corpus-wide most frequent token n-grams — contamination/boilerplate
+    * analysis (which phrases dominate the crawl). Total-ordered
+    * (count desc, gram asc) so top-k is deterministic; at cluster scale the
+    * aggregation is map-side-combined and only k rows reach the driver.
+    */
+  def topNgrams(docs: DataFrame, textCol: String, n: Int, k: Int): DataFrame =
+    docs.select(explode(ngrams(col(textCol), n)).as("gram"))
+      .groupBy("gram").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("gram"))
+      .limit(k)
+}

@@ -1,0 +1,45 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class UrlOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def canon(urls: String*): Seq[String] =
+    urls.toDF("u").select(UrlOps.canonicalize($"u")).as[String].collect().toSeq
+
+  test("canonicalize: case, www, default ports, fragments, tracking params") {
+    assert(canon(
+      "HTTPS://WWW.Example.COM:443/Path/X?utm_source=a&b=2&a=1#frag",
+      "http://example.com:80/",
+      "http://example.com:8080/x",
+      "https://sub.example.com/x?fbclid=z&gclid=y&ref=r",
+      "https://example.com/x?z=9&a=1"
+    ) == Seq(
+      "https://example.com/Path/X?a=1&b=2",
+      "http://example.com/",
+      "http://example.com:8080/x",
+      "https://sub.example.com/x",
+      "https://example.com/x?a=1&z=9"
+    ))
+  }
+
+  test("canonicalize is idempotent") {
+    val once = canon("HTTPS://WWW.Example.COM:443/Path?utm_x=1&b=2&a=1#f")
+    assert(canon(once.head) == once)
+  }
+
+  test("host / registeredDomain / pathDepth") {
+    val got = Seq("https://WWW.News.Example.Co/a/b/c?q=1")
+      .toDF("u").select(
+        UrlOps.host($"u"), UrlOps.registeredDomain($"u"), UrlOps.pathDepth($"u"))
+      .as[(String, String, Int)].collect().head
+    assert(got == (("news.example.co", "example.co", 3)))
+  }
+
+  test("pathDepth of root and empty paths is 0") {
+    val got = Seq("https://example.com/", "https://example.com")
+      .toDF("u").select(UrlOps.pathDepth($"u")).as[Int].collect().toSeq
+    assert(got == Seq(0, 0))
+  }
+}

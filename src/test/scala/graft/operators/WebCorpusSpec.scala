@@ -1,0 +1,60 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class WebCorpusSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("removeBoilerplate drops high-DF lines, keeps order, keeps empty docs visible") {
+    // 4 docs; "BANNER" in all 4 (df=4 ≥ 3 → dropped); "rare" in 2 (kept);
+    // doc 4 is banner-only → comes back empty, not missing.
+    val docs = Seq(
+      (1L, "BANNER\nalpha one\nrare"),
+      (2L, "BANNER\nbeta two\nrare"),
+      (3L, "gamma three\nBANNER"),
+      (4L, "BANNER")
+    ).toDF("doc_id", "text")
+    val got = WebCorpus.removeBoilerplate(docs, "doc_id", "text", minDocs = 3L)
+      .orderBy("doc_id").as[(Long, String, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, "alpha one\nrare", 2L),
+      (2L, "beta two\nrare", 2L),
+      (3L, "gamma three", 1L),
+      (4L, "", 0L)))
+  }
+
+  test("lineDocFrequency counts distinct docs, not occurrences") {
+    val docs = Seq((1L, "x\nx\ny"), (2L, "x")).toDF("doc_id", "text")
+    val freq = WebCorpus.lineDocFrequency(WebCorpus.lineFrame(docs, "doc_id", "text"))
+      .join(Seq("x", "y").toDF("line").select(col("line"), xxhash64(col("line")).as("line_hash")), "line_hash")
+      .select("line", "doc_freq").as[(String, Long)].collect().toMap
+    assert(freq == Map("x" -> 2L, "y" -> 1L)) // doc 1's double "x" counts once
+  }
+
+  test("ngrams produces adjacent space-joined grams; short/blank → empty") {
+    val got = Seq("a b c d", "a b", "a", "", "  ")
+      .toDF("t").select(WebCorpus.ngrams($"t", 3)).as[Seq[String]].collect().toSeq
+    assert(got == Seq(Seq("a b c", "b c d"), Seq(), Seq(), Seq(), Seq()))
+  }
+
+  test("repetitionMetrics: distinct text → 0 dup ratio; degenerate text → high") {
+    val docs = Seq(
+      (1L, "one two three four five"),
+      (2L, "spam spam spam spam spam spam"),
+      (3L, "solo")
+    ).toDF("doc_id", "text")
+    val m = WebCorpus.repetitionMetrics(docs, "doc_id", "text")
+      .orderBy("doc_id").as[(Long, Double, Double)].collect().toSeq
+    assert(m(0) == ((1L, 0.0, 0.25)))     // 5 distinct toks; 4 unique bigrams → top = 1/4
+    assert(m(1)._2 > 0.8 && m(1)._3 == 1.0) // all-same tokens: one bigram dominates
+    assert(m(2) == ((3L, 0.0, 0.0)))      // single token → no bigrams → 0
+  }
+
+  test("topNgrams is total-ordered and respects k") {
+    val docs = Seq("a b c", "a b c", "a b d", "z z z").toDF("text")
+    val got = WebCorpus.topNgrams(docs, "text", n = 2, k = 3)
+      .as[(String, Long)].collect().toSeq
+    assert(got == Seq(("a b", 3L), ("b c", 2L), ("z z", 2L))) // tie at n=2 broken by gram asc
+  }
+}
