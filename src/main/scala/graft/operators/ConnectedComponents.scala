@@ -26,12 +26,27 @@ object ConnectedComponents {
 
   /** @param edges DataFrame with two LongType columns `src`, `dst` (undirected;
     *              orientation/duplicates are fine — symmetrized internally).
+    * @param driverFinishEdges adaptive small-graph cutover: when the ACTIVE
+    *              edge set (initially, or after any contraction round — its
+    *              size is already measured every round by the convergence
+    *              aggregation) is at most this many edges, finish with a
+    *              local union-find instead of more distributed rounds. Each
+    *              avoided round saves 2 shuffles + a driver barrier — the
+    *              dominant FIXED latency of the whole pipeline on sparse dup
+    *              graphs. This is the same adaptive small-side reasoning AQE
+    *              applies when it converts a shuffle join to broadcast: the
+    *              default (2^20 edges = 16 MB) is far below driver capacity,
+    *              and at 10^12-doc scale the early rounds stay fully
+    *              distributed, cutting over only once contraction has shrunk
+    *              the frontier to trivial size (or never, for components
+    *              whose union exceeds the threshold). 0 disables.
     * @return DataFrame (node: Long, component: Long) for every node appearing
     *         in `edges`, where component = min node id of its component.
     *         Callers union in singletons from the vertex universe themselves
     *         (graph_cluster.py:65-66 semantics).
     */
-  def run(edges: DataFrame, maxIterations: Int = 50): DataFrame = {
+  def run(edges: DataFrame, maxIterations: Int = 50,
+      driverFinishEdges: Int = 1 << 20): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
 
@@ -43,6 +58,16 @@ object ConnectedComponents {
       .select(element_at($"p", 1).as("src"), element_at($"p", 2).as("dst"))
       .distinct()
       .localCheckpoint(true)
+
+    if (driverFinishEdges > 0) {
+      // one bounded take: if it comes back short we already hold the edges
+      val head = e.take(driverFinishEdges + 1)
+      if (head.length <= driverFinishEdges) {
+        val out = localLabels(spark, head.map(r => (r.getLong(0), r.getLong(1))))
+        e.unpersist()
+        return out
+      }
+    }
 
     var converged = false
     var iter = 0
@@ -65,6 +90,14 @@ object ConnectedComponents {
       e.unpersist()
       e = ss
       iter += 1
+
+      if (!converged && driverFinishEdges > 0 && sigRow._1 <= driverFinishEdges) {
+        // contraction shrank the frontier under the cutover — finish locally
+        val rows = e.as[(Long, Long)].collect()
+        val out = localLabels(spark, rows)
+        e.unpersist()
+        return out
+      }
     }
 
     // After convergence every edge is (node > min) -> min: the star. Labels:
@@ -74,6 +107,33 @@ object ConnectedComponents {
       .agg(min($"component").as("component"))
       .select($"node", least($"node", $"component").as("component"))
     nodeToMin
+  }
+
+  /** Local union-find over a driver-held edge array (the adaptive
+    * small-graph finisher of [[run]]). Union-by-min + path compression:
+    * the min id wins every union, so each root IS its component's label —
+    * identical output to the distributed contraction.
+    */
+  private def localLabels(spark: SparkSession, edges: Array[(Long, Long)]): DataFrame = {
+    import spark.implicits._
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != r) { val nx = parent(c); parent(c) = r; c = nx }
+      r
+    }
+    edges.foreach { case (s, d) =>
+      parent.getOrElseUpdate(s, s)
+      parent.getOrElseUpdate(d, d)
+      val rs = find(s)
+      val rd = find(d)
+      if (rs != rd) {
+        if (rs < rd) parent(rd) = rs else parent(rs) = rd
+      }
+    }
+    parent.keys.toSeq.map(k => (k, find(k))).toDF("node", "component")
   }
 
   /** large-star: for each u over the symmetrized neighborhood,

@@ -32,7 +32,9 @@ class PropertySpec extends SparkSpec {
         val touched = edges.flatMap(e => Seq(e._1, e._2)).distinct
         val mins = touched.groupBy(u => uf.find(u.toInt)).values
           .flatMap(g => { val mn = g.min; g.map(_ -> mn) }).toMap
-        val got = ConnectedComponents.run(edges.toDF("src", "dst"))
+        // force the distributed contraction (driverFinishEdges=0): the
+        // default local finisher IS a union-find, which would be circular
+        val got = ConnectedComponents.run(edges.toDF("src", "dst"), driverFinishEdges = 0)
           .as[(Long, Long)].collect().toMap
         assert(got == mins, s"trial=$trial n=$n edges=$edges")
       }

@@ -58,4 +58,27 @@ class ConnectedComponentsSpec extends SparkSpec {
     val got = cc(Seq((-5L, 3L), (3L, 7L)))
     assert(got.values.forall(_ == -5L))
   }
+
+  test("driver union-find finisher ≡ fully distributed contraction") {
+    // mixed shapes: clique, chain, star, negatives, singleton pair
+    val edges = (for (i <- 10L to 16L; j <- (i + 1) to 16L) yield (i, j)) ++
+      (100L until 140L).map(i => (i, i + 1)) ++
+      (2L to 8L).map(i => (1000L, 1000L + i)) ++
+      Seq((-9L, -3L), (-3L, 500L), (7777L, 7778L))
+    val df = edges.toDF("src", "dst")
+    val local = ConnectedComponents.run(df) // default cutover: takes the local path
+      .as[(Long, Long)].collect().toMap
+    val distributed = ConnectedComponents.run(df, driverFinishEdges = 0)
+      .as[(Long, Long)].collect().toMap
+    assert(local == distributed)
+  }
+
+  test("in-loop cutover after contraction shrinks the frontier") {
+    // clique of 40 → 780 distinct edges > 100 threshold, so rounds start
+    // distributed; one round contracts to a 39-edge star ≤ 100 → local finish
+    val clique = for (i <- 1L to 40L; j <- (i + 1) to 40L) yield (i, j)
+    val got = ConnectedComponents.run(clique.toDF("src", "dst"), driverFinishEdges = 100)
+      .as[(Long, Long)].collect().toMap
+    assert(got.size == 40 && got.values.forall(_ == 1L))
+  }
 }
