@@ -501,6 +501,30 @@ object SparkEntry {
   }
 
   // =========================================================================
+  // Training-pipeline hygiene: decontamination + incremental membership
+  // =========================================================================
+
+  /** Benchmark decontamination: docs sharing any 5-gram with the "benchmark"
+    * subset (doc_id % 97 == 0) and how many distinct grams leak. Oracle
+    * recomputes the gram join on strings.
+    */
+  private def q46(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val benchGrams = Decontamination.benchmarkGrams(d.where(col("doc_id") % 97 === 0), "text", n = 5)
+    Decontamination.report(d.where(col("doc_id") % 97 =!= 0), "doc_id", "text", benchGrams, n = 5)
+  }
+
+  /** Bloom-prefiltered incremental exact dedup: batch = all documents,
+    * corpus = doc_id % 5 != 0 → new docs are exactly the % 5 == 0 rows whose
+    * text is unseen. Output equals the plain anti-join by construction (the
+    * bloom only prunes the join's left side).
+    */
+  private def q47(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    BloomDedup.newDocs(d, d.where(col("doc_id") % 5 =!= 0), "text").select("doc_id")
+  }
+
+  // =========================================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_search_ilike" -> (q01 _),
@@ -547,7 +571,9 @@ object SparkEntry {
     "q42_repetition_metrics" -> (q42 _),
     "q43_url_canonicalize" -> (q43 _),
     "q44_top_ngrams" -> (q44 _),
-    "q45_length_quantiles" -> (q45 _)
+    "q45_length_quantiles" -> (q45 _),
+    "q46_decontamination" -> (q46 _),
+    "q47_bloom_incremental" -> (q47 _)
   )
 
   // ---------------------------------------------------------------------
@@ -841,6 +867,17 @@ object SparkEntry {
         |  max(CASE WHEN rn = CAST(floor(((n-1)*90)::DOUBLE / 100.0) AS BIGINT) + 1 THEN n_chars END) AS p90,
         |  max(CASE WHEN rn = CAST(floor(((n-1)*99)::DOUBLE / 100.0) AS BIGINT) + 1 THEN n_chars END) AS p99
         | FROM r GROUP BY lang""".stripMargin,
+    "q46_decontamination" ->
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+        | g AS (SELECT doc_id, unnest(list_distinct(list_transform(generate_series(1, len(toks)-4),
+        |   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4]))) AS gram
+        |  FROM t WHERE len(toks) >= 5),
+        | bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0)
+        | SELECT g.doc_id, count(*) AS n_hits FROM g JOIN bench USING (gram)
+        | WHERE g.doc_id % 97 <> 0 GROUP BY g.doc_id""".stripMargin,
+    "q47_bloom_incremental" ->
+      """SELECT d.doc_id FROM documents d
+        | WHERE NOT EXISTS (SELECT 1 FROM documents c WHERE c.doc_id % 5 <> 0 AND c.text = d.text)""".stripMargin,
     "q38_prf_by_subset" ->
       """WITH d AS (SELECT doc_id, n_chars, lang FROM documents WHERE doc_id < 200),
         | p AS (SELECT unnest(list_distinct([a.lang, b.lang])) AS lang,

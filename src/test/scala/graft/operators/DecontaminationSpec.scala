@@ -1,0 +1,55 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DecontaminationSpec extends SparkSpec {
+  import spark.implicits._
+
+  // benchmark doc carries the 5-gram "the quick brown fox jumps" (and more)
+  private val bench = Seq(
+    (900L, "the quick brown fox jumps over the lazy dog")
+  ).toDF("doc_id", "text")
+
+  private val docs = Seq(
+    // shares two distinct benchmark 5-grams:
+    //   "quick brown fox jumps over", "brown fox jumps over the"
+    (1L, "a quick brown fox jumps over the moon tonight"),
+    // clean: no shared 5-gram
+    (2L, "completely unrelated text about spark clusters and shuffles here"),
+    // shares exactly one 5-gram ("jumps over the lazy dog")
+    (3L, "it jumps over the lazy dog every single day"),
+    // too short for any 5-gram
+    (4L, "tiny doc")
+  ).toDF("doc_id", "text")
+
+  test("report counts distinct shared n-grams per doc") {
+    val grams = Decontamination.benchmarkGrams(bench, "text", n = 5)
+    val got = Decontamination.report(docs, "doc_id", "text", grams, n = 5)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 2L, 3L -> 1L))
+  }
+
+  test("clean removes exactly the contaminated docs") {
+    val grams = Decontamination.benchmarkGrams(bench, "text", n = 5)
+    val kept = Decontamination.clean(docs, "doc_id", "text", grams, n = 5)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(2L, 4L))
+  }
+
+  test("broadcast and shuffle paths agree") {
+    val grams = Decontamination.benchmarkGrams(bench, "text", n = 5)
+    val a = Decontamination.report(docs, "doc_id", "text", grams, n = 5, broadcastBench = true)
+      .as[(Long, Long)].collect().toSet
+    val b = Decontamination.report(docs, "doc_id", "text", grams, n = 5, broadcastBench = false)
+      .as[(Long, Long)].collect().toSet
+    assert(a == b)
+  }
+
+  test("a doc is never contaminated by n-grams it merely repeats internally") {
+    // doc repeats its own phrase; benchmark shares nothing
+    val selfRep = Seq((7L, "repeat me now repeat me now repeat me now again ok")).toDF("doc_id", "text")
+    val grams = Decontamination.benchmarkGrams(bench, "text", n = 5)
+    assert(Decontamination.report(selfRep, "doc_id", "text", grams, n = 5).count() == 0)
+  }
+}
