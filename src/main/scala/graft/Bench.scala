@@ -134,36 +134,96 @@ object Bench {
     val nScale: Long = sys.env.get("SPARK_GRAFT_SCALE_DOCS").map(_.toLong)
       .getOrElse(math.min(n, 1000000L))
     val scalePath = corpusPath(spark, nScale)
+    // Fixed-latency probe corpus: a run over it is almost pure per-run
+    // overhead (Catalyst analysis, AQE stage scheduling, job barriers —
+    // all constant in executor count), so it measures the latency floor
+    // each level pays regardless of data volume.
+    val nTiny = 20000L
+    val tinyPath = corpusPath(spark, nTiny)
     spark.stop()
 
-    def minOf(mk: => SparkSession, reps: Int): Double = {
+    // Host CPU steal on this box is TIME-VARYING on ~10-minute scales
+    // (whole windows where every JVM gets <25% of a core). Measuring the
+    // two levels in disjoint windows therefore corrupts the RATIO even
+    // with min-of-reps. Protocol: paired rounds — each round measures
+    // hi then lo back-to-back so both levels sample the same host
+    // conditions; the per-round ratios are combined by median, which one
+    // starved round cannot move. Absolute docs/sec fields still report the
+    // best (min) time observed at each level across all rounds.
+    val rounds = sys.env.get("SPARK_GRAFT_SCALE_ROUNDS").map(_.toInt).getOrElse(3)
+
+    def minRuns(s: SparkSession, path: String, reps: Int): Double =
+      (1 to reps).map(_ => runPipeline(s, path)).min
+
+    // One level measurement within one round: fresh session, `reps` scale
+    // runs (min), plus the fixed-latency probe on the first round.
+    def level(mk: => SparkSession, reps: Int, probe: Boolean): (Double, Double) = {
       val s = mk
-      try (1 to reps).map(_ => runPipeline(s, scalePath)).min
-      finally s.stop()
-    }
-    val (mode, exLo, exHi, coresLo, coresHi, tLo, tHiScale) =
       try {
-        // rep 1 of each level warms that level's fresh executor JVMs and the
-        // min discards it; the hi level is cheap enough to run thrice (host
-        // steal bursts hit short runs proportionally harder)
-        val hi = minOf(execSession(4), 3)
-        val lo = minOf(execSession(1), 2)
-        ("executors_4c10g", 1, 4, 4, 16, lo, hi)
+        val t = minRuns(s, scalePath, reps)
+        val f = if (probe) minRuns(s, tinyPath, 2) else Double.NaN
+        (t, f)
+      } finally s.stop()
+    }
+
+    def paired(mkHi: => SparkSession, mkLo: => SparkSession)
+        : (Seq[(Double, Double)], Double, Double) = {
+      var fHi = Double.NaN
+      var fLo = Double.NaN
+      val ts = (1 to rounds).map { r =>
+        // round 1 runs twice per level (warms fresh executor JVMs; min
+        // discards the JIT-cold run), later rounds once
+        val reps = if (r == 1) 2 else 1
+        val (tH, fH) = level(mkHi, reps, probe = r == 1)
+        val (tL, fL) = level(mkLo, reps, probe = r == 1)
+        if (r == 1) { fHi = fH; fLo = fL }
+        (tH, tL)
+      }
+      (ts, fHi, fLo)
+    }
+
+    val (mode, exLo, exHi, coresLo, coresHi, roundTimes, fHi, fLo) =
+      try {
+        val (ts, fH, fL) = paired(execSession(4), execSession(1))
+        ("executors_4c10g", 1, 4, 4, 16, ts, fH, fL)
       } catch {
         case e: Throwable =>
           System.err.println(s"[bench] local-cluster unavailable (${e.getMessage}); thread fallback")
-          val hi = minOf(session(32), 2)
-          val lo = minOf(session(8), 2)
-          ("threads", 1, 1, 8, 32, lo, hi)
+          val (ts, fH, fL) = paired(session(32), session(8))
+          ("threads", 1, 1, 8, 32, ts, fH, fL)
       }
 
+    val tHiScale = roundTimes.map(_._1).min
+    val tLo = roundTimes.map(_._2).min
+    val fHiV = fHi
+    val fLoV = fLo
     val thrLo = nScale / tLo
     val thrHiScale = nScale / tHiScale
-    val eff = (thrHiScale / thrLo) / 4.0
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+    }
+    val roundEffs = roundTimes.map { case (tH, tL) => (tL / tH) / 4.0 }
+    val eff = median(roundEffs)
+    // Efficiency of the data-proportional fraction: subtract each level's
+    // measured latency floor. On a real cluster jobs run minutes-to-hours,
+    // so the floor amortizes to ~0 and THIS is the ratio that survives the
+    // scale-up; the raw `efficiency` stays reported alongside. The
+    // decomposition only separates when the scale run clearly exceeds the
+    // floor at both levels (not at toy corpus sizes) — else fall back to
+    // the raw ratio rather than report an artifact.
+    val separable = !fLoV.isNaN && !fHiV.isNaN &&
+      (tLo - fLoV) > math.max(2.0, 0.2 * tLo) &&
+      (tHiScale - fHiV) > math.max(2.0, 0.2 * tHiScale)
+    val effCompute =
+      if (separable) ((tLo - fLoV) / (tHiScale - fHiV)) / 4.0 else eff
 
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    val roundsJson = roundTimes.zip(roundEffs)
+      .map { case ((tH, tL), e) => f"""{"secs_hi":$tH%.3f,"secs_lo":$tL%.3f,"efficiency":$e%.3f}""" }
+      .mkString("[", ",", "]")
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","dedup":{"docs":$n,"secs":$tHi%.3f,"docs_per_sec":$thrHi%.1f},"scaling":{"mode":"$mode","docs":$nScale,"executors_lo":$exLo,"executors_hi":$exHi,"cores_lo":$coresLo,"cores_hi":$coresHi,"secs_lo":$tLo%.3f,"secs_hi":$tHiScale%.3f,"docs_per_sec_lo":$thrLo%.1f,"docs_per_sec_hi":$thrHiScale%.1f,"efficiency":$eff%.3f}}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","dedup":{"docs":$n,"secs":$tHi%.3f,"docs_per_sec":$thrHi%.1f},"scaling":{"mode":"$mode","docs":$nScale,"executors_lo":$exLo,"executors_hi":$exHi,"cores_lo":$coresLo,"cores_hi":$coresHi,"secs_lo":$tLo%.3f,"secs_hi":$tHiScale%.3f,"fixed_secs_lo":$fLoV%.3f,"fixed_secs_hi":$fHiV%.3f,"docs_per_sec_lo":$thrLo%.1f,"docs_per_sec_hi":$thrHiScale%.1f,"rounds":$roundsJson,"efficiency":$eff%.3f,"efficiency_compute":$effCompute%.3f}}""")
   }
 }

@@ -77,4 +77,26 @@ class PlanAuditSpec extends SparkSpec {
     val p = planOf("q05_sort_paginate")
     assert(p.contains("TakeOrderedAndProject") || p.contains("GlobalLimit"), p.take(2000))
   }
+
+  test("decontamination joins the benchmark gram table via broadcast") {
+    val docs = Seq((1L, "a b c d e f g h")).toDF("doc_id", "text")
+    val grams = graft.operators.Decontamination.benchmarkGrams(docs, "text", n = 3)
+    val p = graft.operators.Decontamination
+      .report(docs, "doc_id", "text", grams, n = 3)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+  }
+
+  test("bloom membership probe is a scan-local filter, not a join") {
+    // spark.range (not a local Seq): ConvertToLocalRelation would fold a
+    // LocalRelation filter at plan time and leave nothing to audit
+    val corpus = spark.range(50)
+      .select($"id".as("doc_id"), concat(lit("doc "), $"id").as("text"))
+    val bloom = graft.operators.BloomDedup.buildBloom(corpus, xxhash64($"text"))
+    val probed = corpus.where(
+      graft.operators.BloomDedup.mightContain(bloom, xxhash64($"text")))
+    val p = probed.queryExecution.executedPlan.toString
+    assert(p.contains("might_contain"), p.take(2000))
+    assert(!p.contains("Join"), "bloom probe must not plan a join:\n" + p.take(2000))
+  }
 }
