@@ -15,7 +15,17 @@ run / fork := true
 // graft.BenchScale) spawns real executor processes via the Spark launcher,
 // which needs a Spark dist; /opt/spark/conf holds only templates, so no
 // other behavior changes.
-run / envVars ++= Map("SPARK_HOME" -> "/opt/spark", "SPARK_SCALA_VERSION" -> "2.13")
+run / envVars ++= Map(
+  "SPARK_HOME" -> "/opt/spark",
+  "SPARK_SCALA_VERSION" -> "2.13",
+  // Shuffle/spill local dirs on tmpfs: this sandbox's /tmp disk writes at
+  // ~170 MB/s and is shared by every executor — a constant-size serial
+  // fraction that corrupts N-vs-4N scaling. On a real cluster local dirs
+  // are per-node NVMe (they scale with node count); tmpfs is the
+  // single-box model of that. RAM is 125 GiB; a bench run's shuffle files
+  // are a few GiB and are removed when the app stops.
+  "SPARK_LOCAL_DIRS" -> "/dev/shm/graft-spark",
+)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -23,6 +23,7 @@ object BenchScale {
       .master(master)
       .appName(s"graft-scale-$level")
       .config("spark.sql.shuffle.partitions", "64")
+      .config("spark.local.dir", sys.props.getOrElse("graft.localDir", "/dev/shm/graft-spark"))
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

@@ -6,18 +6,27 @@ import graft.config.GraftConfig
 import graft.pipeline.DedupPipeline
 
 /** Ad-hoc per-stage profiler for the dedup pipeline (not part of the driver
-  * contract). Usage: runMain graft.ProfilePipeline <cores> <nDocs>
+  * contract). Usage: runMain graft.ProfilePipeline <level> <nDocs> [rounds]
+  * Level: `N` → local[N] threads; `WxC` → local-cluster with W executor
+  * JVMs × C cores (BenchScale syntax; needs SPARK_HOME).
   */
 object ProfilePipeline {
   def main(args: Array[String]): Unit = {
-    val cores = if (args.length > 0) args(0).toInt else 32
+    val level = if (args.length > 0) args(0) else "32"
     val n = if (args.length > 1) args(1).toLong else 100000L
-    val spark = SparkSession.builder()
-      .master(s"local[$cores]")
-      .config("spark.sql.shuffle.partitions", math.max(cores, 8).toString)
+    val b = SparkSession.builder()
+      .config("spark.sql.shuffle.partitions", "64")
+      .config("spark.local.dir", sys.props.getOrElse("graft.localDir", "/dev/shm/graft-spark"))
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark = (if (level.contains("x")) {
+      val Array(w, c) = level.split("x")
+      b.master(s"local-cluster[$w,$c,12288]")
+        .config("spark.executor.memory", "10g")
+        .config("spark.network.timeout", "600s")
+        .config("spark.executor.extraClassPath",
+          new java.io.File("target/scala-2.13/classes").getAbsolutePath)
+    } else b.master(s"local[$level]")).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     val path = s"/tmp/graft_bench_pages_$n"

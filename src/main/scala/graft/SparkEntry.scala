@@ -524,6 +524,31 @@ object SparkEntry {
     BloomDedup.newDocs(d, d.where(col("doc_id") % 5 =!= 0), "text").select("doc_id")
   }
 
+  /** Dedup keep-policy: per near-dup cluster (real LSH + CC machinery over
+    * documents, singletons included), keep the highest-quality member
+    * (tie → lowest doc_id) — the write-side decision of a training-corpus
+    * dedup pass. Quality ties are safe: [[TextAnalysis.qualityScore]] takes
+    * values in a small finite set, so the doc_id tie-break is exercised and
+    * deterministic in both engines.
+    */
+  private def q48(s: SparkSession, dir: String): DataFrame = {
+    val sigs = docSigs(s, dir)
+    val cands = MinHashLsh.lshCandidates(sigs, cfg)
+    val edges = MinHashLsh.verify(cands, sigs, cfg)
+      .where(col("exact_jaccard") >= cfg.lsh.jaccardThreshold)
+      .select(col("node_a").as("src"), col("node_b").as("dst"))
+    val docs = t(s, dir, "documents")
+    val labels = ConnectedComponents.labelsWithSingletons(
+      docs.select(col("doc_id").as("node")), edges)
+    val quality = docs.select(col("doc_id"),
+      TextAnalysis.qualityScore(col("text")).as("quality"))
+    labels.join(quality, col("node") === col("doc_id"))
+      .groupBy(col("component").as("cluster_id"))
+      .agg(
+        count(lit(1)).as("n_members"),
+        max_by(col("doc_id"), struct(col("quality"), (-col("doc_id")).as("neg"))).as("keep_id"))
+  }
+
   // =========================================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -573,7 +598,8 @@ object SparkEntry {
     "q44_top_ngrams" -> (q44 _),
     "q45_length_quantiles" -> (q45 _),
     "q46_decontamination" -> (q46 _),
-    "q47_bloom_incremental" -> (q47 _)
+    "q47_bloom_incremental" -> (q47 _),
+    "q48_dedup_keep_policy" -> (q48 _)
   )
 
   // ---------------------------------------------------------------------
@@ -878,6 +904,49 @@ object SparkEntry {
     "q47_bloom_incremental" ->
       """SELECT d.doc_id FROM documents d
         | WHERE NOT EXISTS (SELECT 1 FROM documents c WHERE c.doc_id % 5 <> 0 AND c.text = d.text)""".stripMargin,
+    "q48_dedup_keep_policy" ->
+      s"""WITH RECURSIVE p AS ($bruteForceJaccard),
+         | e AS (SELECT ia AS src, ib AS dst FROM p WHERE j >= 0.8
+         |       UNION ALL SELECT ib, ia FROM p WHERE j >= 0.8),
+         | reach(node, comp) AS (
+         |   SELECT src, src FROM e
+         |   UNION
+         |   SELECT e.dst, r.comp FROM reach r JOIN e ON e.src = r.node),
+         | lbl AS (SELECT node, min(comp) AS comp FROM reach GROUP BY node),
+         | c AS (
+         |  SELECT doc_id, text,
+         |   length(text) AS n_chars,
+         |   CASE WHEN length(trim(text)) = 0 THEN 0
+         |        ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
+         |   length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS punct,
+         |   ' ' || regexp_replace(lower(text), '\\s+', '  ', 'g') || ' ' AS p
+         |  FROM documents),
+         | k AS (SELECT doc_id, n_chars, n_tokens,
+         |   round(punct::DOUBLE / greatest(n_chars, 1), 6) AS punct_ratio,
+         |   round((
+         |    (length(p) - length(replace(p, ' the ', ''))) / 5
+         |    + (length(p) - length(replace(p, ' and ', ''))) / 5
+         |    + (length(p) - length(replace(p, ' is ', ''))) / 4
+         |    + (length(p) - length(replace(p, ' a ', ''))) / 3
+         |    + (length(p) - length(replace(p, ' of ', ''))) / 4
+         |    + (length(p) - length(replace(p, ' to ', ''))) / 4
+         |    + (length(p) - length(replace(p, ' in ', ''))) / 4
+         |    + (length(p) - length(replace(p, ' that ', ''))) / 6
+         |   )::DOUBLE / greatest(n_tokens, 1), 6) AS stopword_ratio
+         |  FROM c),
+         | q AS (SELECT doc_id,
+         |  (CASE WHEN n_tokens < 10 THEN 0.2 WHEN n_tokens > 100000 THEN 0.2 ELSE 1.0 END) * 0.4
+         |  + (CASE WHEN stopword_ratio > 0.01 THEN 1.0 ELSE 0.5 END) * 0.3
+         |  + (CASE WHEN punct_ratio BETWEEN 0.0005 AND 0.2 THEN 1.0 ELSE 0.7 END) * 0.3 AS quality
+         | FROM k),
+         | f AS (SELECT d.doc_id, coalesce(l.comp, d.doc_id) AS cluster_id, q.quality
+         |  FROM documents d LEFT JOIN lbl l ON d.doc_id = l.node
+         |  JOIN q ON q.doc_id = d.doc_id),
+         | r AS (SELECT cluster_id, doc_id,
+         |   row_number() OVER (PARTITION BY cluster_id ORDER BY quality DESC, doc_id) AS rn,
+         |   count(*) OVER (PARTITION BY cluster_id) AS n FROM f)
+         | SELECT cluster_id, CAST(n AS BIGINT) AS n_members, doc_id AS keep_id
+         | FROM r WHERE rn = 1""".stripMargin,
     "q38_prf_by_subset" ->
       """WITH d AS (SELECT doc_id, n_chars, lang FROM documents WHERE doc_id < 200),
         | p AS (SELECT unnest(list_distinct([a.lang, b.lang])) AS lang,

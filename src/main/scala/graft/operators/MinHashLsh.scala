@@ -131,16 +131,26 @@ object MinHashLsh {
   def fusedCandidates(sigs: DataFrame, cfg: GraftConfig,
       materialize: DataFrame => DataFrame = identity): DataFrame = {
     val d = cfg.simhash.maxHammingDistance
-    val banded = sigs.where(col("minhash").isNotNull)
-      .select(col("node"), col("simhash"),
-        explode(Hashing.bandKeys(col("minhash"), cfg.lsh.bands, cfg.lsh.rowsPerBand)).as("key"))
-      .withColumn("tier", lit("lsh"))
+    // Accept either a precomputed `band_keys` column (the pipeline persists
+    // those 16 longs instead of the 128-long minhash — 8x fewer cached
+    // bytes on the stage every candidate/verify scan reads) or derive the
+    // keys from `minhash` on the fly.
+    val bandKeysCol =
+      if (sigs.columns.contains("band_keys")) col("band_keys")
+      else Hashing.bandKeys(col("minhash"), cfg.lsh.bands, cfg.lsh.rowsPerBand)
+    // tier travels as one byte until the final projection: the exploded key
+    // frame is the widest shuffle of the pipeline, and a 3-16 char UTF8
+    // string per row is pure overhead there ('0' lsh < '1' simhash < '2'
+    // star keeps the same min-wins dedup priority).
+    val banded = sigs.withColumn("bk", bandKeysCol).where(col("bk").isNotNull)
+      .select(col("node"), col("simhash"), explode(col("bk")).as("key"))
+      .withColumn("tier", lit(0).cast("tinyint"))
     val blocked = sigs.where(col("simhash").isNotNull)
       .select(col("node"), col("simhash"),
         // salt block keys into a disjoint key space from band keys
         explode(Hashing.simHashBlocks(col("simhash"), d + 1)).as("raw_key"))
       .select(col("node"), col("simhash"), xxhash64(col("raw_key"), lit("simblock")).as("key"))
-      .withColumn("tier", lit("simhash"))
+      .withColumn("tier", lit(1).cast("tinyint"))
     val keyed = materialize(banded.unionByName(blocked))
     // The hot-key SET is tiny by construction (keys whose bucket exceeds the
     // cap) — collect it once: the broadcast build would pull it to the
@@ -161,7 +171,7 @@ object MinHashLsh {
     val b = pruned.alias("b")
     val allPairs = a.join(b, col("a.key") === col("b.key") && col("a.node") < col("b.node"))
       .where(col("a.tier") === col("b.tier")) // a pair matches within one tier's key space
-      .where(col("a.tier") === "lsh" ||
+      .where(col("a.tier") === 0 ||
         bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))) <= d)
       .select(col("a.node").as("node_a"), col("b.node").as("node_b"), col("a.tier").as("cand_tier"))
 
@@ -174,13 +184,16 @@ object MinHashLsh {
         val starPairs = hot.join(hotMin, "key")
           .where(col("node") > col("min_node"))
           .select(col("min_node").as("node_a"), col("node").as("node_b"),
-            lit("star").as("cand_tier"))
+            lit(2).cast("tinyint").as("cand_tier"))
         allPairs.unionByName(starPairs)
       }
 
     withStar
       .groupBy("node_a", "node_b")
-      .agg(min(col("cand_tier")).as("cand_tier")) // 'lsh' < 'simhash' < 'star'
+      .agg(min(col("cand_tier")).as("t")) // 0 lsh < 1 simhash < 2 star
+      .select(col("node_a"), col("node_b"),
+        when(col("t") === 0, "lsh").when(col("t") === 1, "simhash")
+          .otherwise("star").as("cand_tier"))
   }
 
   /** Signature-estimated Jaccard: fraction of agreeing MinHash components.
@@ -210,14 +223,29 @@ object MinHashLsh {
     * (url_a, url_b, est_jaccard, exact_jaccard).
     */
   def verify(candidates: DataFrame, sigs: DataFrame, cfg: GraftConfig): DataFrame = {
-    val side = sigs.select(col("node"), col("url"), col("shingles"), col("minhash"))
-    val a = side.toDF("node_a", "url_a", "sh_a", "mh_a")
-    val b = side.toDF("node_b", "url_b", "sh_b", "mh_b")
-    candidates
-      .join(a, "node_a")
-      .join(b, "node_b")
-      .withColumn("est_jaccard", estJaccard(col("mh_a"), col("mh_b"), cfg.lsh.numHashes))
-      .withColumn("exact_jaccard", exactJaccard(col("sh_a"), col("sh_b")))
-      .drop("sh_a", "sh_b", "mh_a", "mh_b")
+    val hasMinhash = sigs.columns.contains("minhash")
+    if (hasMinhash) {
+      val side = sigs.select(col("node"), col("url"), col("shingles"), col("minhash"))
+      val a = side.toDF("node_a", "url_a", "sh_a", "mh_a")
+      val b = side.toDF("node_b", "url_b", "sh_b", "mh_b")
+      candidates
+        .join(a, "node_a")
+        .join(b, "node_b")
+        .withColumn("est_jaccard", estJaccard(col("mh_a"), col("mh_b"), cfg.lsh.numHashes))
+        .withColumn("exact_jaccard", exactJaccard(col("sh_a"), col("sh_b")))
+        .drop("sh_a", "sh_b", "mh_a", "mh_b")
+    } else {
+      // pipeline hot path: signatures carry band keys, not the raw minhash
+      // — decisions read exact Jaccard only, so skip the est diagnostic
+      // instead of shuffling 1 KB/doc of signature just to compute it
+      val side = sigs.select(col("node"), col("url"), col("shingles"))
+      val a = side.toDF("node_a", "url_a", "sh_a")
+      val b = side.toDF("node_b", "url_b", "sh_b")
+      candidates
+        .join(a, "node_a")
+        .join(b, "node_b")
+        .withColumn("exact_jaccard", exactJaccard(col("sh_a"), col("sh_b")))
+        .drop("sh_a", "sh_b")
+    }
   }
 }

@@ -62,10 +62,20 @@ final class DedupPipeline(
     * stage; persisting them again here would double the cached bytes and
     * the scan bandwidth of every consumer (candidate join, verify ×2,
     * vertex universe) — on one box memory bandwidth is the scaling ceiling.
+    *
+    * The 128-long minhash itself is NOT persisted: its only pipeline
+    * consumers are the 16 LSH band keys (computed here, 128 B vs 1 KB per
+    * doc) and the optional `est_jaccard` diagnostic (skipped in the hot
+    * path; decisions read exact Jaccard from shingles). The full signature
+    * remains available from [[MinHashLsh.signatures]] for the
+    * carried-signature verification path at 10^12-doc scale.
     */
   def signatures(extractedDf: DataFrame): DataFrame = stage("signatures") {
     MinHashLsh.signatures(extractedDf, cfg)
-      .select("url", "node", "n_tokens", "shingles", "minhash", "simhash")
+      .select(col("url"), col("node"), col("n_tokens"), col("shingles"),
+        graft.functions.Hashing.bandKeys(col("minhash"), cfg.lsh.bands, cfg.lsh.rowsPerBand)
+          .as("band_keys"),
+        col("simhash"))
   }
 
   /** Candidate pairs from the fused MinHash-band + SimHash-block join,
