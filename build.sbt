@@ -23,8 +23,12 @@ run / envVars ++= Map(
   // fraction that corrupts N-vs-4N scaling. On a real cluster local dirs
   // are per-node NVMe (they scale with node count); tmpfs is the
   // single-box model of that. RAM is 125 GiB; a bench run's shuffle files
-  // are a few GiB and are removed when the app stops.
-  "SPARK_LOCAL_DIRS" -> "/dev/shm/graft-spark",
+  // are a few GiB and are removed when the app stops. Falls back to /tmp
+  // when /dev/shm is absent on the host (tmpfs pages count against RAM, so
+  // graft.Bench also cleans stale dirs at startup).
+  "SPARK_LOCAL_DIRS" -> (
+    if (file("/dev/shm").isDirectory) "/dev/shm/graft-spark"
+    else (sys.props("java.io.tmpdir") + "/graft-spark")),
 )
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
@@ -38,7 +42,27 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
-val sparkHeap = sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")
+// Driver heap is CLAMPED against host RAM: with -Xms=-Xmx -XX:+AlwaysPreTouch
+// the full heap is resident at JVM start, and the bench's local-cluster
+// scaling protocol spawns 4 additional executor JVMs plus tmpfs shuffle on
+// the same box — an unclamped SPARK_DRIVER_MEM (round 1 saw ~90g requested
+// on a 125 GiB host) leaves no room and the OOM killer takes the run
+// (exit 137). Cap at 30% of MemTotal so driver + 4 executors + tmpfs fit.
+val sparkHeap: String = {
+  def gb(s: String): Long = {
+    val t = s.trim.toLowerCase
+    if (t.endsWith("g")) t.dropRight(1).toLong
+    else if (t.endsWith("m")) math.max(1L, t.dropRight(1).toLong / 1024)
+    else t.toLong
+  }
+  val hostGb: Long =
+    try scala.io.Source.fromFile("/proc/meminfo").getLines()
+      .find(_.startsWith("MemTotal")).map(_.replaceAll("[^0-9]", "").toLong / 1048576L)
+      .getOrElse(64L)
+    catch { case _: Throwable => 64L }
+  val requested = gb(sys.env.getOrElse("SPARK_DRIVER_MEM", "24g"))
+  math.max(8L, math.min(requested, hostGb * 3 / 10)).toString + "g"
+}
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",

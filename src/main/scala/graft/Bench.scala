@@ -1,36 +1,89 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions._
+import org.apache.spark.sql.SparkSession
 import graft.config.GraftConfig
 import graft.datagen.PagesGen
 import graft.pipeline.DedupPipeline
 
 /** Benchmark entry point (driver contract).
   *
-  * Prints ONE JSON line:
+  * Emits progressive, self-contained JSON lines to stdout — the LAST line is
+  * the most complete. A line is printed after the query block, after the
+  * headline dedup block, and after EVERY scaling round, so a run killed at
+  * any point still leaves a parseable result (round-1 lesson: the single
+  * end-of-run println meant exit 137 ⇒ parsed:null ⇒ zero performance
+  * evidence for the whole round).
+  *
+  * Shape:
   *   {"metric":"total","value":<sec>,"unit":"sec","queries":{...},"sf":...,
-  *    "dedup":{"docs":N,"docs_per_sec":...},
-  *    "scaling":{"cores_lo":8,"cores_hi":32,"docs_per_sec_lo":...,
-  *               "docs_per_sec_hi":...,"efficiency":...}}
+  *    "dedup":{"docs":N,"secs":...,"docs_per_sec":...},
+  *    "scaling":{"mode":...,"docs":N,"executors_lo":1,"executors_hi":4,
+  *               "cores_lo":4,"cores_hi":16,"secs_lo":...,"secs_hi":...,
+  *               "rounds":[...],"efficiency":...,"efficiency_compute":...}}
   *
   * The scaling block is the sandbox evidence for the north_rule's
-  * two-cluster-size criterion (BASELINE.md): the identical dedup job runs at
-  * local[8] and local[32] over the same corpus bytes; efficiency =
-  * (throughput@32 / throughput@8) / 4.
+  * two-cluster-size criterion (BASELINE.md): the identical dedup job at 1 vs
+  * 4 REAL executor JVMs (fixed 4-core executor spec, only the COUNT varies),
+  * falling back to local[8] vs local[32] threads when the standalone
+  * launcher cannot run. Efficiency = (T_N / T_4N) / 4.
+  *
+  * Memory discipline (round-1 postmortem: driver heap + 4 workers + tmpfs
+  * shuffle exceeded host RAM and the OOM killer SIGKILLed sbt):
+  *  - driver heap is clamped in build.sbt (≤30% of MemTotal);
+  *  - executor memory is derived from /proc/meminfo MemAvailable at launch;
+  *  - stale tmpfs shuffle dirs are deleted at startup (a killed run leaves
+  *    its shuffle files pinned in RAM otherwise).
+  * Liveness discipline: a resource-starved local-cluster hangs with WARNs
+  * instead of throwing, so executor registration is POLLED with a deadline
+  * and the thread fallback fires on timeout.
   */
 object Bench {
 
+  // ---------------------------------------------------------------- memory
+
+  private def meminfoGb(key: String): Long =
+    try {
+      val src = scala.io.Source.fromFile("/proc/meminfo")
+      try src.getLines().find(_.startsWith(key))
+        .map(_.replaceAll("[^0-9]", "").toLong / 1048576L).getOrElse(32L)
+      finally src.close()
+    } catch { case _: Throwable => 32L }
+
+  /** Executor heap (GiB) for `workers` coexisting executor JVMs: fit inside
+    * 70% of currently-available RAM minus slack for tmpfs shuffle + JVM
+    * overhead. MemAvailable already excludes the (pre-touched, resident)
+    * driver heap.
+    */
+  private def execMemGb(workers: Int): Long = {
+    val avail = meminfoGb("MemAvailable")
+    math.max(2L, math.min(10L, (avail * 7 / 10 - 6) / workers))
+  }
+
+  /** Delete stale shuffle dirs from killed runs — tmpfs pages count against
+    * host RAM until removed.
+    */
+  private def cleanStaleLocalDirs(): Unit = {
+    val dir = sys.env.getOrElse("SPARK_LOCAL_DIRS", "/dev/shm/graft-spark")
+    val f = new java.io.File(dir)
+    if (f.isDirectory) {
+      def rm(x: java.io.File): Unit = {
+        if (x.isDirectory) Option(x.listFiles()).toSeq.flatten.foreach(rm)
+        x.delete(): Unit
+      }
+      Option(f.listFiles()).toSeq.flatten.foreach(rm)
+    }
+  }
+
+  // -------------------------------------------------------------- sessions
+
   /** Identical SQL plans at every parallelism level: shuffle partitions are
-    * fixed (AQE coalesces the small ones), only executor-thread count varies
-    * — the clean analog of "same job, N vs 4N executors".
+    * fixed (AQE coalesces the small ones), only executor-thread count varies.
     */
   private def session(cores: Int): SparkSession = {
     val s = SparkSession.builder()
       .master(s"local[$cores]")
       .appName(s"graft-bench-$cores")
       .config("spark.sql.shuffle.partitions", "64")
-      .config("spark.local.dir", sys.props.getOrElse("graft.localDir", "/dev/shm/graft-spark"))
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
@@ -40,33 +93,45 @@ object Bench {
   }
 
   /** REAL executor JVMs for the N-vs-4N protocol: `local-cluster` spawns
-    * `workers` separate executor processes (4 cores, 10 g heap each) via the
-    * Spark standalone launcher — own heaps, own GC, netty shuffle between
-    * them. Only the executor COUNT varies between levels; the executor spec
-    * is fixed, exactly like growing a real cluster. Requires SPARK_HOME
-    * (set in build.sbt for forked runs); falls back to thread levels if the
-    * launcher is unavailable.
+    * `workers` separate executor processes (4 cores each) via the Spark
+    * standalone launcher — own heaps, own GC, netty shuffle between them.
+    * Only the executor COUNT varies between levels. Throws (→ thread
+    * fallback) if the executors do not register within the deadline: a
+    * starved cluster otherwise hangs forever with scheduler WARNs.
     */
-  private def execSession(workers: Int): SparkSession = {
-    // wherever THIS code was loaded from is what executors need on their
-    // classpath (classes dir under sbt, jar under spark-submit)
+  private def execSession(workers: Int, memGb: Long): SparkSession = {
     val codePath = new java.io.File(
       getClass.getProtectionDomain.getCodeSource.getLocation.toURI).getAbsolutePath
     val s = SparkSession.builder()
-      .master(s"local-cluster[$workers,4,12288]")
+      .master(s"local-cluster[$workers,4,${memGb * 1024 + 1024}]")
       .appName(s"graft-bench-exec-$workers")
       .config("spark.sql.shuffle.partitions", "64")
-      .config("spark.local.dir", sys.props.getOrElse("graft.localDir", "/dev/shm/graft-spark"))
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .config("spark.executor.memory", "10g")
+      .config("spark.executor.memory", s"${memGb}g")
       .config("spark.network.timeout", "600s")
+      .config("spark.scheduler.maxRegisteredResourcesWaitingTime", "60s")
       .config("spark.executor.extraClassPath", codePath)
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    try awaitExecutors(s, workers, 90000L)
+    catch { case e: Throwable => s.stop(); throw e }
     s
   }
+
+  private def awaitExecutors(s: SparkSession, want: Int, deadlineMs: Long): Unit = {
+    val end = System.currentTimeMillis() + deadlineMs
+    while (System.currentTimeMillis() < end) {
+      // block-manager registry = driver + one entry per live executor
+      if (s.sparkContext.getExecutorMemoryStatus.size >= want + 1) return
+      Thread.sleep(500)
+    }
+    throw new RuntimeException(
+      s"$want executors did not register within ${deadlineMs} ms")
+  }
+
+  // ------------------------------------------------------------------ runs
 
   /** Deterministic pages corpus parquet, generated once per size. */
   private def corpusPath(spark: SparkSession, n: Long): String = {
@@ -90,24 +155,64 @@ object Bench {
     secs
   }
 
+  // ------------------------------------------------------------------ main
+
+  /** One paired scaling round: (tHi, tLo, floorHi, floorLo).
+    * Each level = fresh session; the tiny-corpus probe runs FIRST (2 reps):
+    * it both warms the fresh executor JVMs' JIT and measures the per-run
+    * latency floor (Catalyst analysis, AQE stage scheduling, CC round
+    * barriers — constant in executor count). Hi and lo run back-to-back so
+    * both sample the same host-steal conditions (the ratio, not the
+    * absolute, is the stable observable on this box).
+    */
+  private final case class Round(tHi: Double, tLo: Double, fHi: Double, fLo: Double) {
+    def eff: Double = (tLo / tHi) / 4.0
+    // Floor-subtracted efficiency computed WITHIN the round (same steal
+    // window), only when the scale run clearly exceeds the floor at both
+    // levels — else the decomposition is an artifact and we fall back to raw.
+    def separable: Boolean =
+      (tLo - fLo) > math.max(2.0, 0.2 * tLo) && (tHi - fHi) > math.max(2.0, 0.2 * tHi)
+    def effCompute: Double =
+      if (separable) ((tLo - fLo) / (tHi - fHi)) / 4.0 else eff
+  }
+
+  private def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+  }
+
   def main(args: Array[String]): Unit = {
+    val wallStart = System.nanoTime()
+    def elapsed: Double = (System.nanoTime() - wallStart) / 1e9
+    // Internal wall-clock budget: stop adding scaling rounds (never mid-run)
+    // once exceeded, so the driver's own timeout can't catch us with an
+    // unparseable partial line.
+    val budgetSecs = sys.env.get("SPARK_GRAFT_BENCH_BUDGET_SECS")
+      .map(_.toDouble).getOrElse(1500.0)
+
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     // Scaling corpus must be big enough that COMPUTE dominates the fixed
-    // per-job latency (plan analysis, AQE stage scheduling, CC round
-    // barriers — ~13 s per run in this sandbox regardless of cores): after
-    // the hot-path fusion + heap-pretouch work the pipeline clears 300k
-    // docs in ~26 s at 32 cores, which is latency-bound — the 8-core run
-    // looks artificially close. 2M docs puts both levels back in the
-    // compute-bound regime the north_rule's N-vs-4N criterion is about.
-    // 1M shares one generated corpus with the scaling block and keeps a
-    // cold full bench run (gen + queries + headline + 5 scaling runs)
-    // around ~13 min; 2M raises throughput ~2% more (BENCH.md) but costs
-    // a second corpus gen and doubles every run.
+    // per-run latency (~8-13 s in this sandbox regardless of cores); 1M docs
+    // puts both executor levels in the compute-bound regime and shares one
+    // generated corpus between the headline and scaling blocks.
     val n: Long = sys.env.get("SPARK_GRAFT_BENCH_DOCS").map(_.toLong).getOrElse {
       if (sfDir.contains("sf0.1")) 1000000L
       else if (sfDir.contains("sf0.01")) 30000L
       else 2000L
+    }
+
+    cleanStaleLocalDirs()
+
+    // ---- progressive JSON state ----
+    var queriesJson = "{}"
+    var totalQuerySecs = 0.0
+    var dedupJson = "null"
+    var scalingJson = "null"
+    def emit(): Unit = {
+      println(
+        f"""{"metric":"total","value":$totalQuerySecs%.3f,"unit":"sec","queries":$queriesJson,"sf":"$sfDir","dedup":$dedupJson,"scaling":$scalingJson}""")
+      System.out.flush()
     }
 
     // ---- query timings at the driver-requested parallelism ----
@@ -118,114 +223,78 @@ object Bench {
       catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }
+    queriesJson = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
+      .mkString("{", ",", "}")
+    totalQuerySecs = results.map(_._2).sum
+    emit()
 
     // ---- headline dedup throughput at requested parallelism ----
-    // min of two measured runs after a warm-up: this sandbox has bursty
-    // host CPU steal (3x swings between identical runs), and the minimum
-    // is the only steal-free estimator of the job's true cost.
+    // min of two measured runs after a warm-up: this sandbox has bursty host
+    // CPU steal (3x swings between identical runs); the minimum is the only
+    // steal-free estimator of the job's true cost.
     val path = corpusPath(spark, n)
     runPipeline(spark, path) // warm-up (JIT, page cache)
     val tHi = math.min(runPipeline(spark, path), runPipeline(spark, path))
     val thrHi = n / tHi
+    dedupJson = f"""{"docs":$n,"secs":$tHi%.3f,"docs_per_sec":$thrHi%.1f}"""
+    emit()
 
     // ---- scaling protocol: N vs 4N REAL executor JVMs ----
-    // 1 executor vs 4 executors, fixed 4-core/10g executor spec, identical
-    // job and bytes — the faithful sandbox analog of growing a cluster.
-    // Falls back to local[8] vs local[32] threads if local-cluster can't
-    // launch here.
     val nScale: Long = sys.env.get("SPARK_GRAFT_SCALE_DOCS").map(_.toLong)
       .getOrElse(math.min(n, 1000000L))
     val scalePath = corpusPath(spark, nScale)
-    // Fixed-latency probe corpus: a run over it is almost pure per-run
-    // overhead (Catalyst analysis, AQE stage scheduling, job barriers —
-    // all constant in executor count), so it measures the latency floor
-    // each level pays regardless of data volume.
-    val nTiny = 20000L
-    val tinyPath = corpusPath(spark, nTiny)
+    val tinyPath = corpusPath(spark, 20000L)
     spark.stop()
 
-    // Host CPU steal on this box is TIME-VARYING on ~10-minute scales
-    // (whole windows where every JVM gets <25% of a core). Measuring the
-    // two levels in disjoint windows therefore corrupts the RATIO even
-    // with min-of-reps. Protocol: paired rounds — each round measures
-    // hi then lo back-to-back so both levels sample the same host
-    // conditions; the per-round ratios are combined by median, which one
-    // starved round cannot move. Absolute docs/sec fields still report the
-    // best (min) time observed at each level across all rounds.
-    val rounds = sys.env.get("SPARK_GRAFT_SCALE_ROUNDS").map(_.toInt).getOrElse(3)
+    val maxRounds = sys.env.get("SPARK_GRAFT_SCALE_ROUNDS").map(_.toInt).getOrElse(2)
 
-    def minRuns(s: SparkSession, path: String, reps: Int): Double =
-      (1 to reps).map(_ => runPipeline(s, path)).min
-
-    // One level measurement within one round: fresh session, `reps` scale
-    // runs (min), plus the fixed-latency probe on the first round.
-    def level(mk: => SparkSession, reps: Int, probe: Boolean): (Double, Double) = {
+    def levelRun(mk: => SparkSession): (Double, Double) = {
       val s = mk
       try {
-        val t = minRuns(s, scalePath, reps)
-        val f = if (probe) minRuns(s, tinyPath, 2) else Double.NaN
+        val f = math.min(runPipeline(s, tinyPath), runPipeline(s, tinyPath))
+        val t = runPipeline(s, scalePath)
         (t, f)
       } finally s.stop()
     }
 
-    def paired(mkHi: => SparkSession, mkLo: => SparkSession)
-        : (Seq[(Double, Double)], Double, Double) = {
-      var fHi = Double.NaN
-      var fLo = Double.NaN
-      val ts = (1 to rounds).map { r =>
-        // round 1 runs twice per level (warms fresh executor JVMs; min
-        // discards the JIT-cold run), later rounds once
-        val reps = if (r == 1) 2 else 1
-        val (tH, fH) = level(mkHi, reps, probe = r == 1)
-        val (tL, fL) = level(mkLo, reps, probe = r == 1)
-        if (r == 1) { fHi = fH; fLo = fL }
-        (tH, tL)
+    def runRounds(mkHi: => SparkSession, mkLo: => SparkSession,
+        mode: String, exLo: Int, exHi: Int, coresLo: Int, coresHi: Int): Unit = {
+      val rounds = scala.collection.mutable.ArrayBuffer.empty[Round]
+      var roundCost = 0.0
+      var r = 0
+      while (r < maxRounds &&
+          (r == 0 || elapsed + roundCost * 1.2 < budgetSecs)) {
+        val rt0 = elapsed
+        val (tH, fH) = levelRun(mkHi)
+        val (tL, fL) = levelRun(mkLo)
+        rounds += Round(tH, tL, fH, fL)
+        roundCost = elapsed - rt0
+        // emit after every round — a kill mid-round still leaves evidence
+        val tLoBest = rounds.map(_.tLo).min
+        val tHiBest = rounds.map(_.tHi).min
+        val roundsJson = rounds.map(rr =>
+          f"""{"secs_hi":${rr.tHi}%.3f,"secs_lo":${rr.tLo}%.3f,"fixed_secs_hi":${rr.fHi}%.3f,"fixed_secs_lo":${rr.fLo}%.3f,"efficiency":${rr.eff}%.3f,"efficiency_compute":${rr.effCompute}%.3f}""")
+          .mkString("[", ",", "]")
+        scalingJson =
+          f"""{"mode":"$mode","docs":$nScale,"executors_lo":$exLo,"executors_hi":$exHi,"cores_lo":$coresLo,"cores_hi":$coresHi,"secs_lo":$tLoBest%.3f,"secs_hi":$tHiBest%.3f,"docs_per_sec_lo":${nScale / tLoBest}%.1f,"docs_per_sec_hi":${nScale / tHiBest}%.1f,"rounds":$roundsJson,"efficiency":${median(rounds.map(_.eff).toSeq)}%.3f,"efficiency_compute":${median(rounds.map(_.effCompute).toSeq)}%.3f}"""
+        emit()
+        r += 1
       }
-      (ts, fHi, fLo)
     }
 
-    val (mode, exLo, exHi, coresLo, coresHi, roundTimes, fHi, fLo) =
-      try {
-        val (ts, fH, fL) = paired(execSession(4), execSession(1))
-        ("executors_4c10g", 1, 4, 4, 16, ts, fH, fL)
-      } catch {
-        case e: Throwable =>
-          System.err.println(s"[bench] local-cluster unavailable (${e.getMessage}); thread fallback")
-          val (ts, fH, fL) = paired(session(32), session(8))
-          ("threads", 1, 1, 8, 32, ts, fH, fL)
-      }
-
-    val tHiScale = roundTimes.map(_._1).min
-    val tLo = roundTimes.map(_._2).min
-    val fHiV = fHi
-    val fLoV = fLo
-    val thrLo = nScale / tLo
-    val thrHiScale = nScale / tHiScale
-    def median(xs: Seq[Double]): Double = {
-      val s = xs.sorted
-      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+    try {
+      val mem = execMemGb(4)
+      runRounds(execSession(4, mem), execSession(1, mem),
+        "executors_4c", exLo = 1, exHi = 4, coresLo = 4, coresHi = 16)
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] local-cluster unavailable (${e.getMessage}); thread fallback")
+        try runRounds(session(32), session(8),
+          "threads", exLo = 1, exHi = 1, coresLo = 8, coresHi = 32)
+        catch { case e2: Throwable =>
+          System.err.println(s"[bench] thread scaling failed too: ${e2.getMessage}")
+        }
     }
-    val roundEffs = roundTimes.map { case (tH, tL) => (tL / tH) / 4.0 }
-    val eff = median(roundEffs)
-    // Efficiency of the data-proportional fraction: subtract each level's
-    // measured latency floor. On a real cluster jobs run minutes-to-hours,
-    // so the floor amortizes to ~0 and THIS is the ratio that survives the
-    // scale-up; the raw `efficiency` stays reported alongside. The
-    // decomposition only separates when the scale run clearly exceeds the
-    // floor at both levels (not at toy corpus sizes) — else fall back to
-    // the raw ratio rather than report an artifact.
-    val separable = !fLoV.isNaN && !fHiV.isNaN &&
-      (tLo - fLoV) > math.max(2.0, 0.2 * tLo) &&
-      (tHiScale - fHiV) > math.max(2.0, 0.2 * tHiScale)
-    val effCompute =
-      if (separable) ((tLo - fLoV) / (tHiScale - fHiV)) / 4.0 else eff
-
-    val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    val roundsJson = roundTimes.zip(roundEffs)
-      .map { case ((tH, tL), e) => f"""{"secs_hi":$tH%.3f,"secs_lo":$tL%.3f,"efficiency":$e%.3f}""" }
-      .mkString("[", ",", "]")
-    println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","dedup":{"docs":$n,"secs":$tHi%.3f,"docs_per_sec":$thrHi%.1f},"scaling":{"mode":"$mode","docs":$nScale,"executors_lo":$exLo,"executors_hi":$exHi,"cores_lo":$coresLo,"cores_hi":$coresHi,"secs_lo":$tLo%.3f,"secs_hi":$tHiScale%.3f,"fixed_secs_lo":$fLoV%.3f,"fixed_secs_hi":$fHiV%.3f,"docs_per_sec_lo":$thrLo%.1f,"docs_per_sec_hi":$thrHiScale%.1f,"rounds":$roundsJson,"efficiency":$eff%.3f,"efficiency_compute":$effCompute%.3f}}""")
+    emit()
   }
 }

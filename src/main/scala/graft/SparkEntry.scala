@@ -221,10 +221,25 @@ object SparkEntry {
       .select(col("node_a").as("doc_id_a"), col("node_b").as("doc_id_b"))
   }
 
-  /** SimHash Hamming-ball tier over the same corpus (recall path 2). */
-  private def q19(s: SparkSession, dir: String): DataFrame =
-    MinHashLsh.simHashCandidates(docSigs(s, dir), cfg)
+  /** SimHash Hamming-ball tier (recall path 2), driver-oracled: the corpus is
+    * documents ∪ byte-identical copies (doc_id + 1,000,000). Identical text ⇒
+    * identical SimHash ⇒ identical pigeonhole block keys and Hamming distance
+    * 0, so every (doc, copy) pair MUST surface as a candidate and pass
+    * verification — the expected pair set is closed-form. Output restricted
+    * to the planted pairs (the corpus's own near-dups are covered by q18/q20
+    * and by HashingSpec's Hamming-threshold tests, which exercise non-zero
+    * distances).
+    */
+  private def q19(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val corpus = d.select(col("doc_id"), col("text"))
+      .unionByName(d.select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      .select(col("doc_id"), col("text").as("extracted_text"), col("doc_id").as("url"))
+    val sigs = MinHashLsh.signatures(corpus, cfg).withColumn("node", col("doc_id"))
+    MinHashLsh.simHashCandidates(sigs, cfg)
+      .where(col("node_b") - col("node_a") === 1000000L)
       .select(col("node_a").as("doc_id_a"), col("node_b").as("doc_id_b"))
+  }
 
   /** Exact n-gram Jaccard values for near-dup pairs (j ≥ 0.5). Oracle:
     * brute-force in DuckDB — valid because the corpus has no pairs between
@@ -319,19 +334,33 @@ object SparkEntry {
       .select("query_id", "neighbor_id", "rank")
   }
 
+  /** LSH ANN through the full bucket-join + re-rank machinery at the
+    * degenerate single-bucket config (bitsPerTable = 0 ⇒ candidates = all
+    * pairs) where its output provably equals exact brute force — giving the
+    * operator a DuckDB oracle (VERDICT r1 #2 recipe). Recall at production
+    * params (tables×bits trade-off) is asserted in SimilaritySpec.
+    */
   private def q30(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings")
-    Similarity.lshTopK(e, e.where(col("vec_id") < 10), 5, tables = 24, bitsPerTable = 6)
+    Similarity.lshTopK(e, e.where(col("vec_id") < 10), 5, tables = 1, bitsPerTable = 0)
       .select("query_id", "neighbor_id", "rank")
   }
 
+  /** Embedding-cosine near-dup pairs, oracled at the same degenerate
+    * single-bucket config (≡ exact all-pairs; see q30).
+    */
   private def q31(s: SparkSession, dir: String): DataFrame =
-    Similarity.nearDupPairs(t(s, dir, "embeddings"), 0.3, tables = 24, bitsPerTable = 6)
+    Similarity.nearDupPairs(t(s, dir, "embeddings"), 0.3, tables = 1, bitsPerTable = 0)
       .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine"))
 
+  /** IVF ANN at nprobe = nlist: every query probes every cell, so the output
+    * is provably the exact top-k regardless of centroid training — the
+    * degenerate config that gives IVF a DuckDB oracle. nprobe < nlist recall
+    * (and IVF ≡ exact equivalence) is asserted in SimilaritySpec.
+    */
   private def q40(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings")
-    Similarity.ivfTopK(e, e.where(col("vec_id") < 10), 5, nlist = 16, nprobe = 4)
+    Similarity.ivfTopK(e, e.where(col("vec_id") < 10), 5, nlist = 16, nprobe = 16)
       .select("query_id", "neighbor_id", "rank")
   }
 
@@ -370,24 +399,75 @@ object SparkEntry {
   // Reference scorer surface over derived events (rows-only check)
   // =========================================================================
 
+  /** The full V1-V8 scorer surface (date/geo/title/description → combined →
+    * decide with title veto, incl. the cross-source blend switch), driver-
+    * oracled: pairs are (doc_id, doc_id+1) and every field is a scenario
+    * literal chosen by scen = doc_id%12 so each signal takes a value the
+    * oracle can state exactly — Jaccard/time-tier date scores as rationals,
+    * geo as identical/missing/low-confidence/beyond-max cases plus ONE real
+    * haversine-decay case (formula mirrored in SQL), titles from a closed set
+    * whose token_sort/token_set kernel values are exact `2*LCS/(|a|+|b|)`
+    * rationals (kernels independently golden-tested vs the reference's
+    * rapidfuzz outputs in FuzzKernelsSpec). Scenarios: 0 clear match,
+    * 2 time-drift ambiguous, 4 cross-source partial-date ambiguous,
+    * 6 title-veto (combined ≥ high but title < veto ⇒ ambiguous),
+    * 8 no-match, 10 haversine-decay match.
+    */
   private def q37(s: SparkSession, dir: String): DataFrame = {
     val d = t(s, dir, "documents")
+    val scen = (col("doc_id") % 12) - (col("doc_id") % 2)
+    val side = col("doc_id") % 2 // 0 = a, 1 = b
+    def entry(date: Column, sd: Column, ed: Column, st: Column): Column =
+      struct(date.as("date"), sd.as("start_date"), ed.as("end_date"), st.as("start_time"))
+    def dayEntry(day: String, time: String): Column =
+      entry(lit(day), lit(null).cast("string"), lit(null).cast("string"),
+        if (time == null) lit(null).cast("string") else lit(time))
+    val nullStr = lit(null).cast("string")
     val ev = d.select(
       col("doc_id"),
-      array(struct(
-        date_format(date_add(to_date(lit("2026-01-01")), (col("doc_id") % 60).cast("int")), "yyyy-MM-dd").as("date"),
-        lit(null).cast("string").as("start_date"),
-        lit(null).cast("string").as("end_date"),
-        concat(lpad((col("doc_id") % 24).cast("string"), 2, "0"), lit(":00")).as("start_time")
-      )).as("dates"),
-      (lit(48.0) + (col("doc_id") % 100).cast("double") / 1000.0).as("geo_latitude"),
-      (lit(7.8) + (col("doc_id") % 50).cast("double") / 1000.0).as("geo_longitude"),
-      lit(0.95).as("geo_confidence"),
-      substring(col("text"), 1, 40).as("title"),
-      substring(col("text"), 1, 200).as("description"),
-      lit(null).cast("string").as("short_description"),
-      lit(null).cast("string").as("location_name"),
-      when(col("doc_id") % 2 === 0, "artikel").otherwise("terminliste").as("source_type"),
+      when(scen === 0, array(dayEntry("2026-05-01", "10:00")))
+        .when(scen === 2 && side === 0, array(dayEntry("2026-05-01", "10:00")))
+        .when(scen === 2, array(dayEntry("2026-05-01", "11:00")))
+        .when(scen === 4 && side === 0,
+          array(entry(nullStr, lit("2026-06-01"), lit("2026-06-02"), nullStr)))
+        .when(scen === 4, array(dayEntry("2026-06-02", null), dayEntry("2026-06-10", null)))
+        .when(scen === 6, array(dayEntry("2026-07-04", null)))
+        .when(scen === 8 && side === 0, array(dayEntry("2026-08-01", null)))
+        .when(scen === 8, array(dayEntry("2026-08-02", null)))
+        .when(scen === 10 && side === 0, array(dayEntry("2026-09-05", "10:00")))
+        .otherwise(array(dayEntry("2026-09-05", "10:20"))).as("dates"),
+      when(scen === 0, lit(48.0)).when(scen === 4 && side === 0, lit(48.0))
+        .when(scen === 4, lit(48.1)).when(scen === 6, lit(47.99))
+        .when(scen === 8 && side === 0, lit(48.0)).when(scen === 8, lit(48.2))
+        .when(scen === 10 && side === 0, lit(48.0)).when(scen === 10, lit(48.03))
+        .otherwise(lit(null).cast("double")).as("geo_latitude"),
+      when(scen === 0, lit(7.8)).when(scen === 4 && side === 0, lit(7.8))
+        .when(scen === 4, lit(7.9)).when(scen === 6, lit(7.85))
+        .when(scen === 8, lit(7.8)).when(scen === 10, lit(7.8))
+        .otherwise(lit(null).cast("double")).as("geo_longitude"),
+      when(scen === 0, lit(0.95)).when(scen === 4 && side === 0, lit(0.5))
+        .when(scen === 4, lit(0.95)).when(scen === 6, lit(0.9))
+        .when(scen === 8, lit(0.95)).when(scen === 10, lit(0.95))
+        .otherwise(lit(null).cast("double")).as("geo_confidence"),
+      when(scen === 0, lit("stadtfest am rheinufer"))
+        .when(scen === 2 && side === 0, lit("sommerfest im park"))
+        .when(scen === 2, lit("im park sommerfest"))
+        .when(scen === 4 && side === 0, lit("konzert im park"))
+        .when(scen === 4, lit("konzert im stadtpark"))
+        .when(scen === 6 && side === 0, lit("aaaa bbbb cccc"))
+        .when(scen === 6, lit("aaaa xxxx yyyy"))
+        .when(scen === 8 && side === 0, lit("aaaa bbbb"))
+        .when(scen === 8, lit("cccc dddd"))
+        .otherwise(lit("grosses herbstfest")).as("title"),
+      when(scen === 0, lit("das grosse stadtfest mit musik und kulinarik"))
+        .when(scen === 4 && side === 0, lit("konzertbeschreibung mit details"))
+        .when(scen === 6, lit("gleicher text"))
+        .when(scen === 8 && side === 1, lit("nur eine seite hat text"))
+        .when(scen === 10, lit("herbstfest mit umzug"))
+        .otherwise(nullStr).as("description"),
+      nullStr.as("short_description"),
+      nullStr.as("location_name"),
+      when(scen === 4 && side === 1, "terminliste").otherwise("artikel").as("source_type"),
       array(col("lang")).as("categories"))
     val a = ev.where(col("doc_id") % 2 === 0)
       .select(ev.columns.map(c => col(c).as(c + "_a")): _*)
@@ -399,6 +479,7 @@ object SparkEntry {
         round(col("date_score"), 4).as("date_score"),
         round(col("geo_score"), 4).as("geo_score"),
         round(col("title_score"), 4).as("title_score"),
+        round(col("description_score"), 4).as("description_score"),
         round(col("combined_score"), 4).as("combined_score"),
         col("decision"))
   }
@@ -424,12 +505,30 @@ object SparkEntry {
         count(when(!col("pred") && col("truth"), 1)).as("fn"))
   }
 
-  /** A5/decision-stats analog: tier-1 decision distribution over the
-    * documents near-dup pipeline (`matching/pipeline.py:155-160`).
+  /** A5/decision-stats analog (`matching/pipeline.py:155-160`), driver-
+    * oracled: decision distribution of the verify→decide machinery over a
+    * PLANTED candidate set — each doc pairs with one deterministic variant
+    * whose class varies: byte-identical prefix keeps Jaccard ≥ threshold
+    * (match), a 60%-truncation lands mid-band (ambiguous / no_match depending
+    * on length), and a reversed-text variant shares ~no shingles (no_match).
+    * Candidates are explicit (not LSH-discovered) so the oracle — the same
+    * 3-gram Jaccard recomputed in SQL with the same variant construction —
+    * covers the exact same pair set; the classification is deterministic in
+    * both engines because both compute the identical rational i/u.
     */
   private def q39(s: SparkSession, dir: String): DataFrame = {
-    val sigs = docSigs(s, dir)
-    val cands = MinHashLsh.lshCandidates(sigs, cfg)
+    val d = t(s, dir, "documents")
+    val variantText =
+      when(col("doc_id") % 3 === 0, concat(lit("prefix boilerplate note "), col("text")))
+        .when(col("doc_id") % 3 === 1,
+          concat(substring(col("text"), lit(1), floor(length(col("text")) * 0.6).cast("int")),
+            lit(" zzz tail marker unique")))
+        .otherwise(reverse(col("text")))
+    val corpus = d.select(col("doc_id"), col("text"))
+      .unionByName(d.select((col("doc_id") + 1000000L).as("doc_id"), variantText.as("text")))
+      .select(col("doc_id"), col("text").as("extracted_text"), col("doc_id").as("url"))
+    val sigs = MinHashLsh.signatures(corpus, cfg).withColumn("node", col("doc_id"))
+    val cands = d.select(col("doc_id").as("node_a"), (col("doc_id") + 1000000L).as("node_b"))
     val verified = MinHashLsh.verify(cands, sigs, cfg)
     Decisions.decide(verified, cfg).groupBy("decision").agg(count(lit(1)).as("n"))
   }
@@ -700,6 +799,10 @@ object SparkEntry {
     "q18_minhash_neardup_pairs" ->
       s"""WITH p AS ($bruteForceJaccard)
          | SELECT ia AS doc_id_a, ib AS doc_id_b FROM p WHERE j >= 0.8""".stripMargin,
+    // q19: identical text ⇒ identical SimHash ⇒ Hamming 0 ⇒ every planted
+    // (doc, copy) pair must surface (see q19 scaladoc).
+    "q19_simhash_neardup_pairs" ->
+      "SELECT doc_id AS doc_id_a, doc_id + 1000000 AS doc_id_b FROM documents",
     "q20_ngram_jaccard_pairs" ->
       s"""WITH p AS ($bruteForceJaccard)
          | SELECT ia AS doc_id_a, ib AS doc_id_b, round(j, 4) AS jaccard FROM p WHERE j >= 0.5""".stripMargin,
@@ -827,6 +930,40 @@ object SparkEntry {
         |  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
         | FROM s)
         | SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank FROM r WHERE rank <= 5""".stripMargin,
+    // q30/q40 run the LSH / IVF machinery at their degenerate exact configs
+    // (single bucket / nprobe = nlist), where output provably equals the q29
+    // brute force — same oracle.
+    "q30_ann_lsh_topk" ->
+      """WITH s AS (
+        | SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |  list_cosine_similarity(q.embedding, c.embedding) AS cos
+        | FROM embeddings q JOIN embeddings c ON q.vec_id < 10 AND q.vec_id <> c.vec_id),
+        | r AS (SELECT query_id, neighbor_id,
+        |  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+        | FROM s)
+        | SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank FROM r WHERE rank <= 5""".stripMargin,
+    "q40_ann_ivf_topk" ->
+      """WITH s AS (
+        | SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |  list_cosine_similarity(q.embedding, c.embedding) AS cos
+        | FROM embeddings q JOIN embeddings c ON q.vec_id < 10 AND q.vec_id <> c.vec_id),
+        | r AS (SELECT query_id, neighbor_id,
+        |  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+        | FROM s)
+        | SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank FROM r WHERE rank <= 5""".stripMargin,
+    // q31 at the single-bucket config ≡ exact all-pairs cosine; the dot/norm
+    // arithmetic mirrors CosineSimilarity's sequential double accumulation.
+    "q31_embedding_neardup" ->
+      """WITH p AS (
+        | SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  list_sum(list_transform(generate_series(1, len(a.embedding)),
+        |    i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))) AS dot,
+        |  sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * x))) AS na,
+        |  sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * x))) AS nb
+        | FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id),
+        | c AS (SELECT id_a, id_b,
+        |  CASE WHEN na = 0 OR nb = 0 THEN 0.0 ELSE dot / (na * nb) END AS cos FROM p)
+        | SELECT id_a, id_b, round(cos, 4) AS cosine FROM c WHERE cos >= 0.3""".stripMargin,
     "q32_synth_longest" ->
       """WITH m AS (SELECT source, max(length(text)) AS max_len FROM documents GROUP BY source)
         | SELECT d.source, min(d.doc_id) AS keep_id, m.max_len
@@ -947,6 +1084,81 @@ object SparkEntry {
          |   count(*) OVER (PARTITION BY cluster_id) AS n FROM f)
          | SELECT cluster_id, CAST(n AS BIGINT) AS n_members, doc_id AS keep_id
          | FROM r WHERE rn = 1""".stripMargin,
+    // q37: scenario fixture (see q37 scaladoc). Every CASE constant mirrors
+    // the Spark-side arithmetic exactly: kernel ratios are 2*LCS/(|a|+|b|)
+    // with hand-derived integer LCS over the literal titles, the haversine
+    // branch replicates the formula (radians spelled x/180*pi() to match
+    // java.lang.Math.toRadians), and the combined score divides by the same
+    // left-associated weight sum the Scala code folds at plan time.
+    "q37_scored_pairs" ->
+      """WITH pr AS (
+        | SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, a.doc_id % 12 AS scen
+        | FROM documents a JOIN documents b ON a.doc_id % 2 = 0 AND b.doc_id = a.doc_id + 1),
+        | s AS (
+        | SELECT doc_id_a, doc_id_b, scen,
+        |  CASE scen WHEN 0 THEN 1.0 WHEN 2 THEN 1.0 * CAST(0.1 AS DOUBLE)
+        |   WHEN 4 THEN (1.0/3.0) * 1.0 WHEN 6 THEN 1.0 WHEN 8 THEN 0.0
+        |   ELSE 1.0 END AS date_score,
+        |  CASE scen WHEN 0 THEN 1.0 WHEN 2 THEN 0.5 WHEN 4 THEN 0.5
+        |   WHEN 6 THEN 1.0 WHEN 8 THEN 0.0
+        |   ELSE greatest(0.0, 1.0 - ((CAST(6371.0 AS DOUBLE) * 2.0) * atan2(
+        |     sqrt(power(sin(((CAST(48.03 AS DOUBLE) - CAST(48.0 AS DOUBLE))/180.0*pi())/2), 2)
+        |       + cos(CAST(48.0 AS DOUBLE)/180.0*pi()) * cos(CAST(48.03 AS DOUBLE)/180.0*pi())
+        |         * power(sin(((CAST(7.8 AS DOUBLE) - CAST(7.8 AS DOUBLE))/180.0*pi())/2), 2)),
+        |     sqrt(1.0 - (power(sin(((CAST(48.03 AS DOUBLE) - CAST(48.0 AS DOUBLE))/180.0*pi())/2), 2)
+        |       + cos(CAST(48.0 AS DOUBLE)/180.0*pi()) * cos(CAST(48.03 AS DOUBLE)/180.0*pi())
+        |         * power(sin(((CAST(7.8 AS DOUBLE) - CAST(7.8 AS DOUBLE))/180.0*pi())/2), 2))))
+        |   ) / CAST(10.0 AS DOUBLE)) END AS geo_score,
+        |  CASE scen WHEN 0 THEN 1.0 WHEN 2 THEN 1.0
+        |   WHEN 4 THEN CAST(0.4 AS DOUBLE) * ((2.0*15)/35) + CAST(0.6 AS DOUBLE) * ((2.0*15)/35)
+        |   WHEN 6 THEN CAST(0.7 AS DOUBLE) * ((2.0*6)/28) + CAST(0.3 AS DOUBLE) * ((2.0*4)/18)
+        |   WHEN 8 THEN (2.0*1)/18 ELSE 1.0 END AS title_score,
+        |  CASE scen WHEN 0 THEN 1.0 WHEN 2 THEN 0.5 WHEN 4 THEN 0.4
+        |   WHEN 6 THEN 1.0 WHEN 8 THEN 0.4 ELSE 1.0 END AS description_score
+        | FROM pr),
+        | c AS (
+        | SELECT doc_id_a, doc_id_b, date_score, geo_score, title_score, description_score,
+        |  (CAST(0.3 AS DOUBLE) * date_score + CAST(0.25 AS DOUBLE) * geo_score
+        |   + CAST(0.3 AS DOUBLE) * title_score + CAST(0.15 AS DOUBLE) * description_score)
+        |  / (CAST(0.3 AS DOUBLE) + CAST(0.25 AS DOUBLE) + CAST(0.3 AS DOUBLE) + CAST(0.15 AS DOUBLE))
+        |  AS combined_score
+        | FROM s)
+        | SELECT doc_id_a, doc_id_b,
+        |  round(date_score, 4) AS date_score, round(geo_score, 4) AS geo_score,
+        |  round(title_score, 4) AS title_score, round(description_score, 4) AS description_score,
+        |  round(combined_score, 4) AS combined_score,
+        |  CASE WHEN combined_score >= 0.75 THEN
+        |    (CASE WHEN title_score < 0.45 THEN 'ambiguous' ELSE 'match' END)
+        |   WHEN combined_score <= 0.35 THEN 'no_match' ELSE 'ambiguous' END AS decision
+        | FROM c""".stripMargin,
+    // q39: planted-variant decision distribution — grams/Jaccard recomputed
+    // in SQL with the identical variant construction and tokenization (single
+    // 0x20 split, empties kept, distinct grams), thresholds 0.8 / 0.5.
+    "q39_decision_stats" ->
+      """WITH v AS (
+        | SELECT doc_id, text,
+        |  CASE WHEN doc_id % 3 = 0 THEN 'prefix boilerplate note ' || text
+        |   WHEN doc_id % 3 = 1 THEN substr(text, 1,
+        |     CAST(floor(length(text) * CAST(0.6 AS DOUBLE)) AS INT)) || ' zzz tail marker unique'
+        |   ELSE reverse(text) END AS vtext
+        | FROM documents),
+        | g AS (
+        | SELECT doc_id,
+        |  list_distinct(list_transform(generate_series(1, len(string_split(text, ' '))-2),
+        |    i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] || ' ' || string_split(text, ' ')[i+2])) AS ga,
+        |  list_distinct(list_transform(generate_series(1, len(string_split(vtext, ' '))-2),
+        |    i -> string_split(vtext, ' ')[i] || ' ' || string_split(vtext, ' ')[i+1] || ' ' || string_split(vtext, ' ')[i+2])) AS gb
+        | FROM v),
+        | j AS (
+        | SELECT doc_id,
+        |  CASE WHEN (len(ga) + len(gb) - len(list_intersect(ga, gb))) = 0 THEN 0.0
+        |   ELSE CAST(len(list_intersect(ga, gb)) AS DOUBLE)
+        |        / (CAST(len(ga) + len(gb) AS DOUBLE) - CAST(len(list_intersect(ga, gb)) AS DOUBLE))
+        |  END AS jac
+        | FROM g)
+        | SELECT CASE WHEN jac >= 0.8 THEN 'match' WHEN jac >= 0.5 THEN 'ambiguous'
+        |  ELSE 'no_match' END AS decision, count(*) AS n
+        | FROM j GROUP BY 1""".stripMargin,
     "q38_prf_by_subset" ->
       """WITH d AS (SELECT doc_id, n_chars, lang FROM documents WHERE doc_id < 200),
         | p AS (SELECT unnest(list_distinct([a.lang, b.lang])) AS lang,

@@ -319,7 +319,12 @@ case class NearestCells(child: Expression, centroids: Seq[Seq[Float]], m: Int)
   */
 case class CosineLshKeys(child: Expression, tables: Int, bitsPerTable: Int, seed: Long)
     extends UnaryExpression with CodegenFallback {
-  require(tables >= 1 && bitsPerTable >= 1 && bitsPerTable <= 32)
+  // bitsPerTable = 0 is the degenerate single-bucket mode: every vector gets
+  // the same per-table key, so a bucket join devolves to the full pair set —
+  // the config under which LSH output provably equals brute force (used by
+  // the driver-oracled ANN queries; production params are recall-tested in
+  // SimilaritySpec).
+  require(tables >= 1 && bitsPerTable >= 0 && bitsPerTable <= 32)
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullIntolerant: Boolean = true
