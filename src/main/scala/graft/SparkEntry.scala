@@ -156,18 +156,60 @@ object SparkEntry {
       round(col("tp") / (col("tp") + col("fn")), 6).as("recall"))
   }
 
-  /** Q18 auto-labeler rule cascade (`ground_truth/auto_labeler.py:83-182`
-    * shape): ordered when/otherwise over signals.
+  /** Q18 auto-labeler with the reference's ACTUAL rules
+    * (`ground_truth/auto_labeler.py:83-182`): title_sim≥0.90∧same_city →
+    * same/high; ≥0.70∧same_city∧desc_sim≥0.80 → same/medium; <0.40 →
+    * different; different_city∧<0.70 → different; else skip. Pairs are
+    * (doc_id, doc_id+1) with scenario-pinned titles/descriptions/cities
+    * (scen = doc_id%12) whose kernel values are exact 2*LCS/(|a|+|b|)
+    * rationals, so the full cascade is DuckDB-expressible. Scenarios:
+    * 0 same/high, 2 missing-city skip, 4 same/medium, 6 different-city
+    * different, 8 low-title different, 10 low-desc skip.
     */
-  private def q13(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "events")
-      .withColumn("label",
-        when(col("value") >= 0.9, "same")
-          .when(col("value") >= 0.7 && col("event_type") === "click", "same")
-          .when(col("value") < 0.1, "different")
-          .when(col("event_type") === "purchase" && col("value") < 0.5, "different")
-          .otherwise("skip"))
-      .groupBy("label").agg(count(lit(1)).as("n"))
+  private def q13(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val scen = (col("doc_id") % 12) - (col("doc_id") % 2)
+    val side = col("doc_id") % 2
+    val nullStr = lit(null).cast("string")
+    val ev = d.select(
+      col("doc_id"),
+      when(scen === 0, lit("stadtfest am rheinufer"))
+        .when(scen === 2 && side === 0, lit("sommerfest im park"))
+        .when(scen === 2, lit("im park sommerfest"))
+        .when(scen === 4 && side === 0, lit("konzert im park"))
+        .when(scen === 4, lit("konzert im stadtpark"))
+        .when(scen === 6 && side === 0, lit("aaaa bbbb cccc"))
+        .when(scen === 6, lit("aaaa xxxx yyyy"))
+        .when(scen === 8 && side === 0, lit("aaaa bbbb"))
+        .when(scen === 8, lit("cccc dddd"))
+        .when(scen === 10 && side === 0, lit("konzert im park"))
+        .otherwise(lit("konzert im stadtpark")).as("title_norm"),
+      when(scen === 4, lit("lange identische beschreibung des konzerts"))
+        .when(scen === 10 && side === 0, lit("aaaa bbbb cccc"))
+        .when(scen === 10, lit("aaaa xxxx yyyy"))
+        .otherwise(nullStr).as("desc_norm"),
+      when(scen === 0, lit("freiburg"))
+        .when(scen === 2 && side === 0, lit("freiburg")) // other side missing
+        .when(scen === 4, lit("freiburg"))
+        .when(scen === 6 && side === 0, lit("freiburg"))
+        .when(scen === 6, lit("basel"))
+        .when(scen === 10, lit("basel"))
+        .otherwise(nullStr).as("city_norm"))
+    val a = ev.select(col("doc_id").as("doc_id_a"), col("title_norm").as("title_a"),
+      col("desc_norm").as("desc_a"), col("city_norm").as("city_a"))
+      .where(col("doc_id_a") % 2 === 0)
+    val b = ev.select(col("doc_id").as("doc_id_b"), col("title_norm").as("title_b"),
+      col("desc_norm").as("desc_b"), col("city_norm").as("city_b"))
+      .where(col("doc_id_b") % 2 === 1)
+    val pairs = a.join(b, col("doc_id_a") + 1 === col("doc_id_b"))
+      .withColumn("title_sim",
+        graft.functions.FuzzKernels.token_sort_ratio(col("title_a"), col("title_b")))
+    AutoLabeler.label(pairs)
+      .select(col("doc_id_a"), col("doc_id_b"),
+        round(col("title_sim"), 4).as("title_sim"),
+        round(col("desc_sim"), 4).as("desc_sim"),
+        col("label"), col("confidence"), col("reason"))
+  }
 
   // =========================================================================
   // Deduplication family (SURVEY.md §2.3 + training-pipeline ops)
@@ -648,6 +690,67 @@ object SparkEntry {
         max_by(col("doc_id"), struct(col("quality"), (-col("doc_id")).as("neg"))).as("keep_id"))
   }
 
+  /** Full event-domain canonical synthesis (`synthesizer.py:16-126` via
+    * [[Synthesis.synthesizeEvents]]): one assembled CanonicalEvent per
+    * cluster with the complete field_provenance map, driver-oracled. The
+    * events frame derives every reference field deterministically from
+    * doc_id (clusters = sources), so longest/most-frequent/best-geo/any-true
+    * winners and their provenance ids are all SQL-expressible. Array-typed
+    * outputs are emitted as joined strings and dates as first/last + entry
+    * count (the array forms are asserted in SynthesisSpec) to keep the
+    * cross-engine compare on scalar columns.
+    */
+  private def q49(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val did = col("doc_id")
+    val events = d.select(
+      col("source").as("cluster_id"),
+      did.cast("string").as("id"),
+      when(did % 7 === 0, lit("kurz"))
+        .otherwise(substring(col("text"), lit(1), (lit(12) + did % 25).cast("int"))).as("title"),
+      when(did % 5 === 0, lit(null).cast("string"))
+        .otherwise(substring(col("text"), lit(1), (lit(30) + did % 40).cast("int"))).as("short_description"),
+      when(did % 3 === 0, lit(null).cast("string"))
+        .otherwise(substring(col("text"), lit(1), (lit(60) + did % 60).cast("int"))).as("description"),
+      array(concat(lit("h"), (did % 4).cast("string")),
+        concat(lit("g"), (did % 3).cast("string"))).as("highlights"),
+      when(did % 4 === 0, lit(null).cast("string"))
+        .otherwise(concat(lit("halle "), (did % 6).cast("string"))).as("location_name"),
+      concat(lit("bezirk "), (did % 3).cast("string")).as("location_district"),
+      when(did % 6 === 0, lit("")).otherwise(concat(lit("strasse "), (did % 9).cast("string"))).as("location_street"),
+      concat(lit("79"), (lit(100) + did % 10).cast("string")).as("location_zipcode"),
+      concat(lit("stadt "), (did % 3).cast("string")).as("location_city"),
+      when(did % 6 === 0, lit(null).cast("double"))
+        .otherwise(lit(48.0) + (did % 10) / lit(100.0)).as("geo_latitude"),
+      (lit(7.8) + (did % 8) / lit(100.0)).as("geo_longitude"),
+      (lit(0.5) + (did % 5) / lit(10.0)).as("geo_confidence"),
+      array(struct(
+        concat(lit("2026-0"), (lit(1) + did % 9).cast("string"), lit("-"),
+          (lit(10) + did % 18).cast("string")).as("date"),
+        when(did % 4 === 0, lit("2026-09-28")).otherwise(lit(null).cast("string")).as("end_date")
+      )).as("dates"),
+      array(concat(lit("c"), (did % 5).cast("string"))).as("categories"),
+      (did % 11 === 0).as("is_family_event"),
+      (did % 13 === 0).as("is_child_focused"),
+      (did % 2 === 0).as("admission_free"))
+    Synthesis.synthesizeEvents(events)
+      .select(
+        col("cluster_id"),
+        col("title"), element_at(col("field_provenance"), "title").as("title_src"),
+        col("short_description"), element_at(col("field_provenance"), "short_description").as("sd_src"),
+        col("description"), element_at(col("field_provenance"), "description").as("desc_src"),
+        array_join(col("highlights"), ",").as("highlights"),
+        col("location_name"),
+        col("location_city"), element_at(col("field_provenance"), "location_city").as("city_src"),
+        col("geo_latitude"), col("geo_longitude"), col("geo_confidence"),
+        element_at(col("field_provenance"), "geo").as("geo_src"),
+        col("first_date"), col("last_date"), size(col("dates")).as("n_date_entries"),
+        array_join(col("categories"), ",").as("categories"),
+        col("is_family_event"),
+        element_at(col("field_provenance"), "is_family_event").as("family_src"),
+        col("admission_free"), col("source_count"))
+  }
+
   // =========================================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -698,7 +801,8 @@ object SparkEntry {
     "q45_length_quantiles" -> (q45 _),
     "q46_decontamination" -> (q46 _),
     "q47_bloom_incremental" -> (q47 _),
-    "q48_dedup_keep_policy" -> (q48 _)
+    "q48_dedup_keep_policy" -> (q48 _),
+    "q49_canonical_events" -> (q49 _)
   )
 
   // ---------------------------------------------------------------------
@@ -776,13 +880,6 @@ object SparkEntry {
         |  round((count(*) FILTER (WHERE pred AND truth))::DOUBLE /
         |        ((count(*) FILTER (WHERE pred AND truth)) + (count(*) FILTER (WHERE NOT pred AND truth))), 6) AS recall
         | FROM p""".stripMargin,
-    "q13_autolabel_cascade" ->
-      """SELECT CASE WHEN value >= 0.9 THEN 'same'
-        |  WHEN value >= 0.7 AND event_type = 'click' THEN 'same'
-        |  WHEN value < 0.1 THEN 'different'
-        |  WHEN event_type = 'purchase' AND value < 0.5 THEN 'different'
-        |  ELSE 'skip' END AS label, count(*) AS n
-        | FROM events GROUP BY 1""".stripMargin,
     "q14_exact_dedup_groups" ->
       s"""SELECT sha256(text) AS text_hash, count(*) AS dup_count, min(doc_id) AS keep_id
          | FROM ($exactDupUnion) GROUP BY 1 HAVING count(*) > 1""".stripMargin,
@@ -1159,6 +1256,122 @@ object SparkEntry {
         | SELECT CASE WHEN jac >= 0.8 THEN 'match' WHEN jac >= 0.5 THEN 'ambiguous'
         |  ELSE 'no_match' END AS decision, count(*) AS n
         | FROM j GROUP BY 1""".stripMargin,
+    // q49: the derived-events canonical synthesizer. Windows mirror the
+    // struct-min tie-breaks exactly: length DESC then id ASC (strings —
+    // lexicographic in both engines), count DESC then value ASC for
+    // most_frequent, confidence DESC then id ASC for best_geo.
+    "q49_canonical_events" ->
+      """WITH e AS (
+        | SELECT source AS cluster_id, CAST(doc_id AS VARCHAR) AS id, doc_id,
+        |  CASE WHEN doc_id % 7 = 0 THEN 'kurz'
+        |       ELSE substr(text, 1, CAST(12 + doc_id % 25 AS INT)) END AS title,
+        |  CASE WHEN doc_id % 5 = 0 THEN NULL
+        |       ELSE substr(text, 1, CAST(30 + doc_id % 40 AS INT)) END AS short_description,
+        |  CASE WHEN doc_id % 3 = 0 THEN NULL
+        |       ELSE substr(text, 1, CAST(60 + doc_id % 60 AS INT)) END AS description,
+        |  'h' || CAST(doc_id % 4 AS VARCHAR) AS hl1, 'g' || CAST(doc_id % 3 AS VARCHAR) AS hl2,
+        |  CASE WHEN doc_id % 4 = 0 THEN NULL ELSE 'halle ' || CAST(doc_id % 6 AS VARCHAR) END AS location_name,
+        |  'stadt ' || CAST(doc_id % 3 AS VARCHAR) AS location_city,
+        |  CASE WHEN doc_id % 6 = 0 THEN NULL
+        |       ELSE CAST(48.0 AS DOUBLE) + (doc_id % 10) / CAST(100.0 AS DOUBLE) END AS geo_latitude,
+        |  CAST(7.8 AS DOUBLE) + (doc_id % 8) / CAST(100.0 AS DOUBLE) AS geo_longitude,
+        |  CAST(0.5 AS DOUBLE) + (doc_id % 5) / CAST(10.0 AS DOUBLE) AS geo_confidence,
+        |  '2026-0' || CAST(1 + doc_id % 9 AS VARCHAR) || '-' || CAST(10 + doc_id % 18 AS VARCHAR) AS date_s,
+        |  CASE WHEN doc_id % 4 = 0 THEN '2026-09-28' ELSE NULL END AS end_s,
+        |  'c' || CAST(doc_id % 5 AS VARCHAR) AS cat,
+        |  doc_id % 11 = 0 AS is_family_event,
+        |  doc_id % 2 = 0 AS admission_free
+        | FROM documents),
+        | tw AS (SELECT cluster_id, title, id,
+        |   row_number() OVER (PARTITION BY cluster_id ORDER BY length(title) DESC, id) rn
+        |  FROM e WHERE title IS NOT NULL AND length(title) >= 10),
+        | sw AS (SELECT cluster_id, short_description, id,
+        |   row_number() OVER (PARTITION BY cluster_id ORDER BY length(short_description) DESC, id) rn
+        |  FROM e WHERE short_description IS NOT NULL AND length(short_description) > 0),
+        | dw AS (SELECT cluster_id, description, id,
+        |   row_number() OVER (PARTITION BY cluster_id ORDER BY length(description) DESC, id) rn
+        |  FROM e WHERE description IS NOT NULL AND length(description) > 0),
+        | lw AS (SELECT cluster_id, location_name, id,
+        |   row_number() OVER (PARTITION BY cluster_id ORDER BY length(location_name) DESC, id) rn
+        |  FROM e WHERE location_name IS NOT NULL AND length(location_name) > 0),
+        | cc AS (SELECT cluster_id, location_city, count(*) n, min(id) city_src
+        |  FROM e WHERE location_city IS NOT NULL AND length(location_city) > 0 GROUP BY 1, 2),
+        | cw AS (SELECT cluster_id, location_city, city_src,
+        |   row_number() OVER (PARTITION BY cluster_id ORDER BY n DESC, location_city) rn FROM cc),
+        | gw AS (SELECT cluster_id, geo_latitude, geo_longitude, geo_confidence, id,
+        |   row_number() OVER (PARTITION BY cluster_id ORDER BY geo_confidence DESC, id) rn
+        |  FROM e WHERE geo_latitude IS NOT NULL AND geo_longitude IS NOT NULL AND geo_confidence IS NOT NULL),
+        | hl AS (SELECT cluster_id, string_agg(v, ',' ORDER BY v) AS highlights FROM (
+        |   SELECT DISTINCT cluster_id, hl1 AS v FROM e
+        |   UNION SELECT DISTINCT cluster_id, hl2 FROM e) GROUP BY cluster_id),
+        | ct AS (SELECT cluster_id, string_agg(v, ',' ORDER BY v) AS categories FROM (
+        |   SELECT DISTINCT cluster_id, cat AS v FROM e) GROUP BY cluster_id),
+        | dd AS (SELECT cluster_id, min(ds) AS first_date, max(ds) AS last_date FROM (
+        |   SELECT cluster_id, date_s AS ds FROM e
+        |   UNION ALL SELECT cluster_id, end_s FROM e WHERE end_s IS NOT NULL) GROUP BY cluster_id),
+        | nd AS (SELECT cluster_id,
+        |   count(DISTINCT date_s || '|' || coalesce(end_s, '')) AS n_date_entries
+        |  FROM e GROUP BY cluster_id),
+        | bo AS (SELECT cluster_id, bool_or(is_family_event) AS is_family_event,
+        |   coalesce(min(CASE WHEN is_family_event THEN id END), min(id)) AS family_src,
+        |   bool_or(admission_free) AS admission_free,
+        |   count(*) AS source_count
+        |  FROM e GROUP BY cluster_id)
+        | SELECT bo.cluster_id,
+        |  tw.title, tw.id AS title_src,
+        |  sw.short_description, sw.id AS sd_src,
+        |  dw.description, dw.id AS desc_src,
+        |  hl.highlights,
+        |  lw.location_name,
+        |  cw.location_city, cw.city_src,
+        |  gw.geo_latitude, gw.geo_longitude, gw.geo_confidence, gw.id AS geo_src,
+        |  dd.first_date, dd.last_date, CAST(nd.n_date_entries AS INT) AS n_date_entries,
+        |  ct.categories, bo.is_family_event, bo.family_src, bo.admission_free, bo.source_count
+        | FROM bo
+        | LEFT JOIN (SELECT * FROM tw WHERE rn = 1) tw USING (cluster_id)
+        | LEFT JOIN (SELECT * FROM sw WHERE rn = 1) sw USING (cluster_id)
+        | LEFT JOIN (SELECT * FROM dw WHERE rn = 1) dw USING (cluster_id)
+        | LEFT JOIN (SELECT * FROM lw WHERE rn = 1) lw USING (cluster_id)
+        | LEFT JOIN (SELECT * FROM cw WHERE rn = 1) cw USING (cluster_id)
+        | LEFT JOIN (SELECT * FROM gw WHERE rn = 1) gw USING (cluster_id)
+        | LEFT JOIN hl USING (cluster_id)
+        | LEFT JOIN ct USING (cluster_id)
+        | LEFT JOIN dd USING (cluster_id)
+        | LEFT JOIN nd USING (cluster_id)""".stripMargin,
+    // q13: the reference auto-labeler cascade over scenario-pinned pairs;
+    // title/desc kernel values are exact 2*LCS/(|a|+|b|) rationals.
+    "q13_autolabel_cascade" ->
+      """WITH pr AS (
+        | SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, a.doc_id % 12 AS scen
+        | FROM documents a JOIN documents b ON a.doc_id % 2 = 0 AND b.doc_id = a.doc_id + 1),
+        | s AS (
+        | SELECT doc_id_a, doc_id_b, scen,
+        |  CASE scen WHEN 0 THEN 1.0 WHEN 2 THEN 1.0
+        |   WHEN 4 THEN (2.0*15)/35 WHEN 6 THEN (2.0*6)/28
+        |   WHEN 8 THEN (2.0*1)/18 ELSE (2.0*15)/35 END AS title_sim,
+        |  CASE scen WHEN 4 THEN 1.0 WHEN 10 THEN (2.0*6)/28 ELSE 0.0 END AS desc_sim,
+        |  CASE scen WHEN 0 THEN 'same_city' WHEN 4 THEN 'same_city'
+        |   WHEN 10 THEN 'same_city' WHEN 6 THEN 'diff_city' ELSE 'missing' END AS cityrel
+        | FROM pr)
+        | SELECT doc_id_a, doc_id_b,
+        |  round(title_sim, 4) AS title_sim, round(desc_sim, 4) AS desc_sim,
+        |  CASE WHEN title_sim >= 0.90 AND cityrel = 'same_city' THEN 'same'
+        |   WHEN title_sim >= 0.70 AND cityrel = 'same_city' AND desc_sim >= 0.80 THEN 'same'
+        |   WHEN title_sim < 0.40 THEN 'different'
+        |   WHEN cityrel = 'diff_city' AND title_sim < 0.70 THEN 'different'
+        |   ELSE 'skip' END AS label,
+        |  CASE WHEN title_sim >= 0.90 AND cityrel = 'same_city' THEN 'high'
+        |   WHEN title_sim >= 0.70 AND cityrel = 'same_city' AND desc_sim >= 0.80 THEN 'medium'
+        |   WHEN title_sim < 0.40 THEN 'high'
+        |   WHEN cityrel = 'diff_city' AND title_sim < 0.70 THEN 'high'
+        |   ELSE NULL END AS confidence,
+        |  CASE WHEN title_sim >= 0.90 AND cityrel = 'same_city' THEN 'title_sim>=0.90 + same_city'
+        |   WHEN title_sim >= 0.70 AND cityrel = 'same_city' AND desc_sim >= 0.80
+        |    THEN 'title_sim>=0.70 + same_city + desc_sim>=0.80'
+        |   WHEN title_sim < 0.40 THEN 'title_sim<0.40'
+        |   WHEN cityrel = 'diff_city' AND title_sim < 0.70 THEN 'different_city + title_sim<0.70'
+        |   ELSE NULL END AS reason
+        | FROM s""".stripMargin,
     "q38_prf_by_subset" ->
       """WITH d AS (SELECT doc_id, n_chars, lang FROM documents WHERE doc_id < 200),
         | p AS (SELECT unnest(list_distinct([a.lang, b.lang])) AS lang,

@@ -47,7 +47,17 @@ final case class TitleConfig(
 
 final case class ClusterConfig(
     maxClusterSize: Int = 15,
-    minInternalSimilarity: Double = 0.40
+    minInternalSimilarity: Double = 0.40,
+    /** coherence check (c): max distinct dates a coherent cluster may span
+      * (`clustering/coherence.py:58-63`, hardcoded 3 in the reference);
+      * applied only when per-node dates are supplied — same optionality as
+      * the reference's `events_by_id` parameter. */
+    maxDistinctDates: Int = 3,
+    /** cap on the materialized member-url list per canonical row: one
+      * boilerplate mega-cluster must not put a 10^6-element array into a
+      * single aggregation buffer — the labels table IS the full membership
+      * link (SURVEY.md §1.1); the list is a bounded preview. */
+    maxMemberList: Int = 1000
 )
 
 /** MinHash / LSH parameters (ours; reference analog is the blocking-key
@@ -143,7 +153,9 @@ object GraftConfig {
         timeGapPenaltyFactor = d("date.time_gap_penalty_factor", base.date.timeGapPenaltyFactor)),
       cluster = base.cluster.copy(
         maxClusterSize = i("cluster.max_cluster_size", base.cluster.maxClusterSize),
-        minInternalSimilarity = d("cluster.min_internal_similarity", base.cluster.minInternalSimilarity)),
+        minInternalSimilarity = d("cluster.min_internal_similarity", base.cluster.minInternalSimilarity),
+        maxDistinctDates = i("cluster.max_distinct_dates", base.cluster.maxDistinctDates),
+        maxMemberList = i("cluster.max_member_list", base.cluster.maxMemberList)),
       lsh = base.lsh.copy(
         shingleSize = i("lsh.shingle_size", base.lsh.shingleSize),
         numHashes = i("lsh.num_hashes", base.lsh.numHashes),

@@ -1,0 +1,87 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.FuzzKernels
+
+/** Ground-truth generation: candidate pairs + the reference's conservative
+  * auto-labeling cascade (SURVEY.md §2.9 Q18; reference
+  * `/root/reference/src/event_dedup/ground_truth/auto_labeler.py:83-182` and
+  * `ground_truth/candidate_generator.py:36-127`).
+  *
+  * Rules (ordered, intentionally stricter than the matcher):
+  *   same/high:    title_sim ≥ 0.90 ∧ same_city
+  *   same/medium:  title_sim ≥ 0.70 ∧ same_city ∧ desc_sim ≥ 0.80
+  *   diff/high:    title_sim < 0.40
+  *   diff/high:    different_city ∧ title_sim < 0.70
+  *   else          skip (ambiguous)
+  * where same_city / different_city require BOTH cities non-empty
+  * (auto_labeler.py:68-80), title/desc sims are rapidfuzz token_sort_ratio
+  * over normalized fields ([[FuzzKernels]] is the exact-parity kernel), and
+  * desc_sim is 0.0 when either side is missing (auto_labeler.py:50-57).
+  */
+object AutoLabeler {
+
+  /** Cross-source candidate pairs from a blocking-key frame with seeded
+    * hard-negative sampling (candidate_generator.py:36-127): explode keys →
+    * self-join (canonical order, cross-source only, deduped) → title sim →
+    * keep pairs ≥ minTitleSim plus a seeded `hardNegativeRatio` sample of
+    * the below-threshold pairs (rand(seed) — the distributed re-expression
+    * of `random.Random(seed).sample`, same ratio, deterministic per seed).
+    *
+    * Input needs (id, source, title_norm, city_norm, blocking_keys).
+    */
+  def candidates(events: DataFrame, minTitleSim: Double = 0.30,
+      hardNegativeRatio: Double = 0.20, seed: Long = 42L): DataFrame = {
+    val keyed = events.select(col("id"), col("source"), col("title_norm"),
+      col("city_norm"), explode(col("blocking_keys")).as("key"))
+    val a = keyed.toDF("id_a", "source_a", "title_a", "city_a", "key")
+    val b = keyed.toDF("id_b", "source_b", "title_b", "city_b", "key")
+    val pairs = a.join(b, Seq("key"))
+      .where(col("id_a") < col("id_b") && col("source_a") =!= col("source_b"))
+      .drop("key")
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("title_sim",
+        FuzzKernels.token_sort_ratio(coalesce(col("title_a"), lit("")),
+          coalesce(col("title_b"), lit(""))))
+    pairs.where(col("title_sim") >= minTitleSim)
+      .unionByName(pairs.where(col("title_sim") < minTitleSim)
+        .where(rand(seed) < hardNegativeRatio))
+  }
+
+  private def nonEmpty(c: Column): Column = c.isNotNull && length(c) > 0
+
+  /** The labeling cascade over a pair frame carrying
+    * (title_sim, desc_a, desc_b, city_a, city_b). Appends
+    * (desc_sim, label, confidence, reason).
+    */
+  def label(pairs: DataFrame): DataFrame = {
+    val descSim = when(!nonEmpty(col("desc_a")) || !nonEmpty(col("desc_b")), 0.0)
+      .otherwise(FuzzKernels.token_sort_ratio(col("desc_a"), col("desc_b")))
+    val sameCity = nonEmpty(col("city_a")) && nonEmpty(col("city_b")) &&
+      col("city_a") === col("city_b")
+    val diffCity = nonEmpty(col("city_a")) && nonEmpty(col("city_b")) &&
+      col("city_a") =!= col("city_b")
+    pairs
+      .withColumn("desc_sim", descSim)
+      .withColumn("label",
+        when(col("title_sim") >= 0.90 && sameCity, "same")
+          .when(col("title_sim") >= 0.70 && sameCity && col("desc_sim") >= 0.80, "same")
+          .when(col("title_sim") < 0.40, "different")
+          .when(diffCity && col("title_sim") < 0.70, "different")
+          .otherwise("skip"))
+      .withColumn("confidence",
+        when(col("title_sim") >= 0.90 && sameCity, "high")
+          .when(col("title_sim") >= 0.70 && sameCity && col("desc_sim") >= 0.80, "medium")
+          .when(col("title_sim") < 0.40, "high")
+          .when(diffCity && col("title_sim") < 0.70, "high")
+          .otherwise(lit(null).cast("string")))
+      .withColumn("reason",
+        when(col("title_sim") >= 0.90 && sameCity, "title_sim>=0.90 + same_city")
+          .when(col("title_sim") >= 0.70 && sameCity && col("desc_sim") >= 0.80,
+            "title_sim>=0.70 + same_city + desc_sim>=0.80")
+          .when(col("title_sim") < 0.40, "title_sim<0.40")
+          .when(diffCity && col("title_sim") < 0.70, "different_city + title_sim<0.70")
+          .otherwise(lit(null).cast("string")))
+  }
+}

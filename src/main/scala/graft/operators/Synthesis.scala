@@ -83,12 +83,24 @@ object Synthesis {
     */
   def canonicals(labeled: DataFrame, cfg: GraftConfig): DataFrame = {
     val textSel = selectLongest(col("extracted_text"), col("url"))
+    // Member-list cap: row_number over (component, url) bounds the
+    // aggregation buffer at maxMemberList entries — one boilerplate
+    // mega-cluster of 10^6 members must NOT materialize a 10^6-element
+    // array in a single buffer (the classic CC-output killer). The labels
+    // table is the full membership link (SURVEY.md §1.1); `member_urls` is
+    // a deterministic first-K-by-url preview, `members_truncated` says so.
+    // The window reuses the same hash partitioning the groupBy needs, so
+    // this costs a per-partition sort, not an extra shuffle.
+    val k = cfg.cluster.maxMemberList
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("component")).orderBy(col("url"))
     labeled
+      .withColumn("__rn", row_number().over(w))
       .groupBy(col("component"))
       .agg(
         min(col("url")).as("canonical_url"),
         textSel.as("text_sel"),
-        sort_array(collect_list(col("url"))).as("member_urls"),
+        sort_array(collect_list(when(col("__rn") <= k, col("url")))).as("member_urls"),
         count(lit(1)).as("source_count"),
         min(col("warc_ts")).as("first_seen"),
         max(col("warc_ts")).as("last_seen"),
@@ -99,6 +111,7 @@ object Synthesis {
         col("canonical_url"),
         col("text_sel.value").as("text"),
         col("member_urls"),
+        (col("source_count") > k).as("members_truncated"),
         col("source_count"),
         col("first_seen"),
         col("last_seen"),
@@ -134,7 +147,13 @@ object Synthesis {
     * re-join and re-aggregate the same frames, and the pipeline needs all
     * three per run.
     */
-  def clusterQuality(labels: DataFrame, decisions: DataFrame, cfg: GraftConfig): DataFrame = {
+  /** @param nodeDays optional (node, day) frame enabling coherence check (c)
+    *   — date spread ≤ maxDistinctDates (`coherence.py:58-63`; applied only
+    *   when provided, the reference's `events_by_id` optionality). Webtext
+    *   analog: day = date_trunc('day', warc_ts).
+    */
+  def clusterQuality(labels: DataFrame, decisions: DataFrame, cfg: GraftConfig,
+      nodeDays: Option[DataFrame] = None): DataFrame = {
     val lbl = labels.select(col("node"), col("component"))
     val rows = decisions
       .where(col("decision").isin("match", "overlap_match"))
@@ -146,12 +165,23 @@ object Synthesis {
       .agg(
         avg(col("match_weight")).as("match_confidence"),
         bool_or(col("is_tier2")).as("tier2_assisted"))
-    lbl.groupBy("component").agg(count(lit(1)).as("size"))
+    val base = lbl.groupBy("component").agg(count(lit(1)).as("size"))
       .join(rows, Seq("component"), "left")
-      .withColumn("flagged",
-        col("size") > cfg.cluster.maxClusterSize ||
-          (col("match_confidence").isNotNull &&
-            col("match_confidence") < cfg.cluster.minInternalSimilarity))
+    val withDays = nodeDays match {
+      case None => base.withColumn("distinct_days", lit(null).cast("long"))
+      case Some(nd) =>
+        val days = nd.select(col("node"), col("day"))
+          .join(lbl, "node")
+          .groupBy("component")
+          .agg(countDistinct(col("day")).as("distinct_days"))
+        base.join(days, Seq("component"), "left")
+    }
+    withDays.withColumn("flagged",
+      col("size") > cfg.cluster.maxClusterSize ||
+        (col("match_confidence").isNotNull &&
+          col("match_confidence") < cfg.cluster.minInternalSimilarity) ||
+        (col("distinct_days").isNotNull &&
+          col("distinct_days") > cfg.cluster.maxDistinctDates))
   }
 
   /** G12 per-cluster confidence: mean match-edge weight; NULL for singletons
@@ -175,6 +205,107 @@ object Synthesis {
       .join(lbl.toDF("src", "component"), "src")
       .groupBy("component")
       .agg(bool_or(col("tier") =!= "jaccard").as("tier2_assisted"))
+  }
+
+  /** Full event-domain canonical synthesizer (`synthesizer.py:16-126`): one
+    * assembled CanonicalEvent row per cluster with the COMPLETE per-field
+    * provenance map. Strategies per field (reference order):
+    *   title → longest_non_generic(≥10); short_description/description →
+    *   longest; highlights/categories → union ("union_all_sources");
+    *   location_name/district/street/zipcode → most_complete (= longest);
+    *   location_city → most_frequent (two-phase count; tie → min value, min
+    *   id — the §7.5 deterministic re-expression of "first occurrence");
+    *   geo → highest confidence where lat/lon/conf all present; dates →
+    *   dedup union + first/last over date ∪ end_date; booleans → any_true
+    *   with first-true provenance.
+    *
+    * Input: one row per source event with `cluster_id`, `id` and the
+    * reference field set. Output: one row per cluster; `field_provenance`
+    * is a map column exactly like `canonical_event.py:60`.
+    */
+  def synthesizeEvents(events: DataFrame): DataFrame = {
+    def longest(f: String) = selectLongest(col(f), col("id"))
+    // two-phase most_frequent for location_city (mode needs a pre-count)
+    val cityCounts = events
+      .where(col("location_city").isNotNull && length(col("location_city")) > 0)
+      .groupBy(col("cluster_id"), col("location_city"))
+      .agg(count(lit(1)).as("n"), min(col("id")).as("city_src"))
+    val cityPick = cityCounts.groupBy("cluster_id")
+      .agg(min(struct((-col("n")).as("neg_n"), col("location_city").as("value"),
+        col("city_src").as("src"))).as("city_sel"))
+      .select(col("cluster_id"), col("city_sel.value").as("location_city"),
+        col("city_sel.src").as("city_src"))
+
+    val geoCand = when(
+      col("geo_latitude").isNotNull && col("geo_longitude").isNotNull &&
+        col("geo_confidence").isNotNull,
+      struct((-col("geo_confidence")).as("neg_conf"), col("id").as("src"),
+        col("geo_latitude").as("lat"), col("geo_longitude").as("lon"),
+        col("geo_confidence").as("conf")))
+
+    val main = events.groupBy(col("cluster_id")).agg(
+      selectLongestNonGeneric(col("title"), col("id"), 10).as("title_sel"),
+      longest("short_description").as("sd_sel"),
+      longest("description").as("desc_sel"),
+      selectUnionLists(col("highlights")).as("highlights"),
+      longest("location_name").as("loc_name_sel"),
+      longest("location_district").as("loc_district_sel"),
+      longest("location_street").as("loc_street_sel"),
+      longest("location_zipcode").as("loc_zip_sel"),
+      min(geoCand).as("geo_sel"),
+      sort_array(array_distinct(flatten(collect_list(col("dates"))))).as("dates"),
+      selectUnionLists(col("categories")).as("categories"),
+      anyTrue(col("is_family_event"), col("id")).as("family_sel"),
+      anyTrue(col("is_child_focused"), col("id")).as("child_sel"),
+      anyTrue(col("admission_free"), col("id")).as("free_sel"),
+      count(lit(1)).as("source_count"))
+
+    val allDates = filter(
+      concat(transform(col("dates"), d => d.getField("date")),
+        transform(col("dates"), d => d.getField("end_date"))),
+      d => d.isNotNull)
+
+    main.join(cityPick, Seq("cluster_id"), "left")
+      .withColumn("__all_dates", allDates)
+      .select(
+        col("cluster_id"),
+        col("title_sel.value").as("title"),
+        col("sd_sel.value").as("short_description"),
+        col("desc_sel.value").as("description"),
+        col("highlights"),
+        col("loc_name_sel.value").as("location_name"),
+        col("loc_district_sel.value").as("location_district"),
+        col("loc_street_sel.value").as("location_street"),
+        col("loc_zip_sel.value").as("location_zipcode"),
+        col("location_city"),
+        col("geo_sel.lat").as("geo_latitude"),
+        col("geo_sel.lon").as("geo_longitude"),
+        col("geo_sel.conf").as("geo_confidence"),
+        col("dates"),
+        when(size(col("__all_dates")) > 0, array_min(col("__all_dates"))).as("first_date"),
+        when(size(col("__all_dates")) > 0, array_max(col("__all_dates"))).as("last_date"),
+        col("categories"),
+        col("family_sel.value").as("is_family_event"),
+        col("child_sel.value").as("is_child_focused"),
+        col("free_sel.value").as("admission_free"),
+        col("source_count"),
+        map(
+          lit("title"), col("title_sel.src"),
+          lit("short_description"), col("sd_sel.src"),
+          lit("description"), col("desc_sel.src"),
+          lit("highlights"), lit("union_all_sources"),
+          lit("location_name"), col("loc_name_sel.src"),
+          lit("location_district"), col("loc_district_sel.src"),
+          lit("location_street"), col("loc_street_sel.src"),
+          lit("location_zipcode"), col("loc_zip_sel.src"),
+          lit("location_city"), col("city_src"),
+          lit("geo"), col("geo_sel.src"),
+          lit("dates"), lit("union_all_sources"),
+          lit("categories"), lit("union_all_sources"),
+          lit("is_family_event"), col("family_sel.src"),
+          lit("is_child_focused"), col("child_sel.src"),
+          lit("admission_free"), col("free_sel.src")
+        ).as("field_provenance"))
   }
 
   /** G14 enrichment with downgrade prevention

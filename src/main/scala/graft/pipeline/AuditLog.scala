@@ -1,0 +1,48 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Append-only audit-log table for review operations (reference
+  * `/root/reference/src/event_dedup/models/audit_log.py`, written by every
+  * split/merge at `review/operations.py:201-208,321-331`).
+  *
+  * [[graft.operators.Review.splitNode]]/`mergeClusters` return audit frames;
+  * this sink persists them. Rows are only ever APPENDED (mode append on a
+  * parquet dir — the Iceberg-`append` seam, like [[Checkpoints]]); nothing
+  * here can overwrite history. `run_id` is caller-supplied (determinism
+  * policy §7.5: no wall-clock stamps inside jobs) and `seq` orders actions
+  * within a run.
+  */
+final class AuditLog(spark: SparkSession, path: String) {
+
+  private var seq: Long = 0L
+
+  /** Append one audit action. The frame's own columns are folded into a
+    * details JSON string so heterogeneous actions (split vs merge) share one
+    * table schema: (run_id, seq, action, details).
+    */
+  def append(audit: DataFrame, runId: String): Unit = {
+    val detailCols = audit.columns.filterNot(_ == "action")
+    val row = audit.select(
+      lit(runId).as("run_id"),
+      lit(seq).as("seq"),
+      col("action"),
+      to_json(struct(detailCols.map(col): _*)).as("details"))
+    row.write.mode("append").parquet(path)
+    seq += 1
+  }
+
+  /** The full audit history (empty frame with the right schema if nothing
+    * has been appended yet).
+    */
+  def history(): DataFrame =
+    if (new java.io.File(path).exists()) spark.read.parquet(path)
+    else spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("run_id", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("seq", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("action", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("details", org.apache.spark.sql.types.StringType))))
+}

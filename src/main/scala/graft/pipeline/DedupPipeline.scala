@@ -146,7 +146,10 @@ final class DedupPipeline(
     decisionsDf match {
       case None => base
       case Some(decs) =>
-        val quality = Synthesis.clusterQuality(labelsDf, decs, cfg)
+        // coherence check (c): webtext date spread = distinct warc_ts days
+        val nodeDays = extractedDf.select(
+          xxhash64(col("url")).as("node"), to_date(col("warc_ts")).as("day"))
+        val quality = Synthesis.clusterQuality(labelsDf, decs, cfg, Some(nodeDays))
           .select(col("component"), col("flagged"), col("match_confidence"), col("tier2_assisted"))
         base.join(quality, Seq("component"), "left")
           .withColumn("flagged", coalesce(col("flagged"), lit(false)))
