@@ -36,6 +36,15 @@ import graft.functions.{toCol, toExpr}
   * fine for the *bloom* (false positives get re-checked) but NOT for the
   * exact phase — at 10^12 rows 64-bit birthday collisions would silently
   * drop genuinely-new docs, hence sha2 there.
+  *
+  * Practical ceiling of THIS single-filter form: the bloom is materialized
+  * as one driver-side byte array baked into the plan, and a 1% filter costs
+  * ~1.2 bytes/item — fine to ~10^9-10^10 corpus items (a few GB), not
+  * 10^12 in one filter. Beyond that, partition the corpus (by date/bucket)
+  * and build one bloom per partition probed against the matching batch
+  * slice; the two-phase shape is unchanged. `expectedItems` exists so the
+  * caller can thread a known count (e.g. the stage-lineage `rows` figure
+  * from [[graft.pipeline.Checkpoints]]) and skip the sizing count job.
   */
 object BloomDedup {
 
@@ -51,19 +60,17 @@ object BloomDedup {
   def buildBloom(corpus: DataFrame, fingerprint: Column,
       expectedItems: Long = -1L, fpp: Double = 0.01): Array[Byte] = {
     val fps = corpus.select(fingerprint.as("fp"))
-    val n = if (expectedItems > 0) expectedItems else fps.count()
     // zero-row corpora: stat.bloomFilter's aggregate yields a null buffer
     // (NPE on deserialize) — an empty filter (rejects everything) is the
-    // correct membership answer. n == 0 covers the counted path; the
-    // NPE catch covers an empty corpus with caller-supplied expectedItems.
+    // correct membership answer. Emptiness is checked EXPLICITLY (cheap
+    // limit-1 probe when the caller supplied expectedItems and we didn't
+    // count) rather than by catching NPE, which would mask unrelated NPEs
+    // from the aggregate path.
+    val n = if (expectedItems > 0) expectedItems else fps.count()
+    val isEmpty = if (expectedItems > 0) fps.isEmpty else n == 0
     val bloom =
-      if (n == 0) org.apache.spark.util.sketch.BloomFilter.create(1L, fpp)
-      else
-        try fps.stat.bloomFilter("fp", math.max(n, 1L), fpp)
-        catch {
-          case _: NullPointerException =>
-            org.apache.spark.util.sketch.BloomFilter.create(1L, fpp)
-        }
+      if (isEmpty) org.apache.spark.util.sketch.BloomFilter.create(1L, fpp)
+      else fps.stat.bloomFilter("fp", math.max(n, 1L), fpp)
     val bos = new java.io.ByteArrayOutputStream()
     bloom.writeTo(bos)
     bos.toByteArray

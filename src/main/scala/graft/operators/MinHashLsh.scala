@@ -217,10 +217,14 @@ object MinHashLsh {
   }
 
   /** Verify candidate pairs: join back to signatures (B4's pair→event lookup,
-    * `matching/pipeline.py:117-125`) and score est + exact Jaccard.
+    * `matching/pipeline.py:117-125`) and score exact shingle Jaccard.
     *
     * Input: candidates (node_a, node_b [, tier]); output adds
-    * (url_a, url_b, est_jaccard, exact_jaccard).
+    * (url_a, url_b, exact_jaccard) — plus `est_jaccard` ONLY when `sigs`
+    * carries a `minhash` column. The pipeline's signature stage persists
+    * band keys instead of the 128-long minhash (8× fewer cached bytes), so
+    * the hot path intentionally skips the est diagnostic; pass a frame from
+    * [[signatures]] directly to get it.
     */
   def verify(candidates: DataFrame, sigs: DataFrame, cfg: GraftConfig): DataFrame = {
     val hasMinhash = sigs.columns.contains("minhash")

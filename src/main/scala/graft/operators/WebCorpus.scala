@@ -34,6 +34,13 @@ object WebCorpus {
   /** Document frequency per distinct line: how many distinct documents
     * contain the line. Joinable by the 64-bit `line_hash` so downstream
     * shuffles never carry the line text twice.
+    *
+    * Collision posture: at 10^12 distinct lines, 64-bit birthday collisions
+    * (~3% of keys) would CONFLATE unrelated lines — inflating doc_freq and
+    * over-removing. Acceptable for boilerplate stats (an inflated count only
+    * errs toward removing a near-boilerplate line); for exact semantics at
+    * that scale widen the key to a 128-bit hash (two xxhash64 seeds or
+    * sha2/16B), which only changes the key expression here and below.
     */
   def lineDocFrequency(lines: DataFrame): DataFrame =
     lines.groupBy(xxhash64(col("line")).as("line_hash"))

@@ -53,7 +53,6 @@ final class IncrementalDedup(spark: SparkSession, cfg: GraftConfig = GraftConfig
     val newSigs = signaturesOf(newPages)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val allSigs = state.signatures.unionByName(newSigs)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // candidates touching the new batch: new-side bands join all-side bands
     val bandsOf = (sigs: DataFrame) => sigs.where(col("minhash").isNotNull)
@@ -74,7 +73,6 @@ final class IncrementalDedup(spark: SparkSession, cfg: GraftConfig = GraftConfig
       .where(col("exact_jaccard") >= cfg.lsh.jaccardThreshold)
       .select(col("node_a").as("src"), col("node_b").as("dst"))
     val allEdges = state.edges.unionByName(newEdges).dropDuplicates("src", "dst")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // components touched by a new edge or containing a new node
     val touchedComponents = state.labels
@@ -94,6 +92,14 @@ final class IncrementalDedup(spark: SparkSession, cfg: GraftConfig = GraftConfig
       .select("node", "component")
     val labels = untouched.unionByName(relabeled.select("node", "component"))
 
-    State(allSigs, allEdges, labels)
+    // Truncate lineage per fold: each step unions onto the previous state's
+    // frames, so without a checkpoint the plan (and re-execution cost on a
+    // lost partition) grows linearly in fold count. localCheckpoint caches
+    // and cuts the lineage at this step's boundary; on a real cluster swap
+    // for reliable checkpoint/table writes (the Checkpoints seam) since
+    // local checkpoints don't survive executor loss.
+    State(allSigs.localCheckpoint(false),
+      allEdges.localCheckpoint(false),
+      labels.localCheckpoint(false))
   }
 }
