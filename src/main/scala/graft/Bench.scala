@@ -110,6 +110,14 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.executor.memory", s"${memGb}g")
+      // Fixed, pre-touched executor heaps: standalone workers launch
+      // executors with ONLY -Xmx (no -Xms), so the heap grows lazily and the
+      // first data-sized run pays 16 threads × 4 JVMs of concurrent
+      // first-touch page faults serializing on the kernel mmap lock —
+      // measured 4-10× stage slowdowns (a cold 4-executor 1M-doc run: 510 s
+      // vs 50 s warm). -Xms pins the full heap and AlwaysPreTouch moves
+      // every fault to spawn, which the registration poll below absorbs.
+      .config("spark.executor.extraJavaOptions", s"-Xms${memGb}g -XX:+AlwaysPreTouch")
       .config("spark.network.timeout", "600s")
       .config("spark.scheduler.maxRegisteredResourcesWaitingTime", "60s")
       .config("spark.executor.extraClassPath", codePath)
@@ -247,12 +255,17 @@ object Bench {
     spark.stop()
 
     val maxRounds = sys.env.get("SPARK_GRAFT_SCALE_ROUNDS").map(_.toInt).getOrElse(2)
+    // Fresh executor JVMs converge SLOWLY even with pre-touched heaps (JIT
+    // tiers, codegen caches, netty pools: 542 → 69 → 59 → 52 s measured at
+    // 4×4c/1M): the tiny probes warm the code paths, then min-of-2 scale
+    // reps discards the residual first-data-sized-run cost.
+    val scaleReps = sys.env.get("SPARK_GRAFT_SCALE_REPS").map(_.toInt).getOrElse(2)
 
     def levelRun(mk: => SparkSession): (Double, Double) = {
       val s = mk
       try {
         val f = math.min(runPipeline(s, tinyPath), runPipeline(s, tinyPath))
-        val t = runPipeline(s, scalePath)
+        val t = (1 to scaleReps).map(_ => runPipeline(s, scalePath)).min
         (t, f)
       } finally s.stop()
     }

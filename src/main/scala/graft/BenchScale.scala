@@ -35,6 +35,10 @@ object BenchScale {
         // spawn stalls registration past the heartbeat window; first-touch
         // cost lands in rep 1 and min-of-reps discards it.
         b.config("spark.executor.memory", "10g")
+          // standalone executors get only -Xmx from spark.executor.memory;
+          // -Xms + pretouch pins the heap at spawn (see Bench.execSession)
+          .config("spark.executor.extraJavaOptions",
+            sys.props.getOrElse("graft.execOpts", "-Xms10g -XX:+AlwaysPreTouch"))
           .config("spark.network.timeout", "600s")
           .config("spark.executor.extraClassPath",
             new java.io.File("target/scala-2.13/classes").getAbsolutePath)

@@ -23,6 +23,7 @@ object ProfilePipeline {
       val Array(w, c) = level.split("x")
       b.master(s"local-cluster[$w,$c,12288]")
         .config("spark.executor.memory", "10g")
+        .config("spark.executor.extraJavaOptions", "-Xms10g -XX:+AlwaysPreTouch")
         .config("spark.network.timeout", "600s")
         .config("spark.executor.extraClassPath",
           new java.io.File("target/scala-2.13/classes").getAbsolutePath)

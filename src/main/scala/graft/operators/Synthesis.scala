@@ -83,29 +83,33 @@ object Synthesis {
     */
   def canonicals(labeled: DataFrame, cfg: GraftConfig): DataFrame = {
     val textSel = selectLongest(col("extracted_text"), col("url"))
-    // Member-list cap: row_number over (component, url) bounds the
-    // aggregation buffer at maxMemberList entries — one boilerplate
-    // mega-cluster of 10^6 members must NOT materialize a 10^6-element
-    // array in a single buffer (the classic CC-output killer). The labels
-    // table is the full membership link (SURVEY.md §1.1); `member_urls` is
-    // a deterministic first-K-by-url preview, `members_truncated` says so.
-    // The window reuses the same hash partitioning the groupBy needs, so
-    // this costs a per-partition sort, not an extra shuffle.
+    // Member-list cap: one boilerplate mega-cluster of 10^6 members must NOT
+    // materialize a 10^6-element array in a single aggregation buffer (the
+    // classic CC-output killer). The labels table is the full membership
+    // link (SURVEY.md §1.1); `member_urls` is a deterministic first-K-by-url
+    // preview, `members_truncated` says so. The bounding row_number runs
+    // over a NARROW (component, url) projection — windowing the full labeled
+    // rows would drag extracted_text through a sort and defeat the main
+    // aggregation's map-side combine — and its groupBy + the subsequent join
+    // reuse the same hash partitioning, so the cost is one narrow shuffle.
     val k = cfg.cluster.maxMemberList
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("component")).orderBy(col("url"))
-    labeled
+    val members = labeled.select(col("component"), col("url"))
       .withColumn("__rn", row_number().over(w))
+      .groupBy(col("component"))
+      .agg(sort_array(collect_list(when(col("__rn") <= k, col("url")))).as("member_urls"))
+    labeled
       .groupBy(col("component"))
       .agg(
         min(col("url")).as("canonical_url"),
         textSel.as("text_sel"),
-        sort_array(collect_list(when(col("__rn") <= k, col("url")))).as("member_urls"),
         count(lit(1)).as("source_count"),
         min(col("warc_ts")).as("first_seen"),
         max(col("warc_ts")).as("last_seen"),
         selectUnionLists(array(col("lang"))).as("langs")
       )
+      .join(members, Seq("component"))
       .select(
         col("component"),
         col("canonical_url"),
@@ -170,10 +174,13 @@ object Synthesis {
     val withDays = nodeDays match {
       case None => base.withColumn("distinct_days", lit(null).cast("long"))
       case Some(nd) =>
+        // approx_count_distinct: sketch-mergeable (full map-side combine, no
+        // expand like exact countDistinct) and EXACT at small cardinalities
+        // — the only regime the ≤ maxDistinctDates threshold reads.
         val days = nd.select(col("node"), col("day"))
           .join(lbl, "node")
           .groupBy("component")
-          .agg(countDistinct(col("day")).as("distinct_days"))
+          .agg(approx_count_distinct(col("day")).as("distinct_days"))
         base.join(days, Seq("component"), "left")
     }
     withDays.withColumn("flagged",

@@ -197,4 +197,49 @@ object EventIngest {
       .option("maxRecordsPerFile", chunkSize)
       .json(outDir)
   }
+
+  /** S11 full-parity chunked export (`export/service.py:77-133`): one JSON
+    * DOCUMENT per part — `{"events":[...],"metadata":{...}}` — named
+    * `export_<stamp>_part_<N>.json`, with the reference's metadata block
+    * (exportedAt, eventCount, part, totalParts, filters). Empty input still
+    * yields part 1 with an empty events array (service.py:93-108).
+    *
+    * `stamp`/`exportedAt` are caller-supplied (§7.5 determinism — no wall
+    * clock inside jobs). This is the API-parity path and is driver-bounded
+    * exactly like the reference's in-memory chunker (each part ≤ chunkSize
+    * events; parts stream through the driver one file at a time); the
+    * 100 TB path is [[export]]'s `maxRecordsPerFile` writer, which never
+    * touches the driver.
+    *
+    * @param eventsJson (id, event_json) — event_json from [[toInputFormat]]
+    * @return (filename, part, event_count) per written file
+    */
+  def exportWithMetadata(eventsJson: DataFrame, outDir: String, stamp: String,
+      exportedAt: String, chunkSize: Int = 200,
+      filtersJson: String = "null"): DataFrame = {
+    val spark = eventsJson.sparkSession
+    import spark.implicits._
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("id"))
+    val parts = eventsJson
+      .withColumn("__part", (((row_number().over(w) - 1) / chunkSize) + 1).cast("long"))
+      .groupBy(col("__part").as("part"))
+      .agg(array_join(collect_list(col("event_json")), ",").as("events_arr"),
+        count(lit(1)).as("event_count"))
+      .orderBy("part")
+      .select("part", "events_arr", "event_count")
+      .as[(Long, String, Long)]
+      .collect()
+    val totalParts = math.max(1L, parts.length.toLong)
+    val written =
+      (if (parts.isEmpty) Seq((1L, "", 0L)) else parts.toSeq).map { case (part, arr, n) =>
+        val content =
+          s"""{"events":[$arr],"metadata":{"exportedAt":"$exportedAt","eventCount":$n,"part":$part,"totalParts":$totalParts,"filters":$filtersJson}}"""
+        val name = s"export_${stamp}_part_$part.json"
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(s"$outDir/$name"), content.getBytes("UTF-8"))
+        (name, part, n)
+      }
+    written.toDF("filename", "part", "event_count")
+  }
 }
