@@ -123,7 +123,13 @@ object Bench {
       .config("spark.executor.extraClassPath", codePath)
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
-    try awaitExecutors(s, workers, 90000L)
+    // Registration can legitimately take 2-3 min on this box: workers spawn
+    // executor JVMs that pre-touch multi-GB heaps, and the Master retries
+    // resource offers while they come up ("requires more resource than any
+    // of Workers" warnings are transient). 4 min separates slow-but-alive
+    // from genuinely hung; past it, the thread fallback still yields a
+    // complete scaling block.
+    try awaitExecutors(s, workers, 240000L)
     catch { case e: Throwable => s.stop(); throw e }
     s
   }
