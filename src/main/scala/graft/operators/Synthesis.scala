@@ -107,6 +107,11 @@ object Synthesis {
         count(lit(1)).as("source_count"),
         min(col("warc_ts")).as("first_seen"),
         max(col("warc_ts")).as("last_seen"),
+        // coherence check (c) input, computed here for free — the labeled
+        // frame already carries warc_ts, so the pipeline needs no second
+        // extracted scan/join; approx_count_distinct is mergeable and exact
+        // at threshold-sized cardinalities
+        approx_count_distinct(to_date(col("warc_ts"))).as("distinct_days"),
         selectUnionLists(array(col("lang"))).as("langs")
       )
       .join(members, Seq("component"))
@@ -119,6 +124,7 @@ object Synthesis {
         col("source_count"),
         col("first_seen"),
         col("last_seen"),
+        col("distinct_days"),
         col("langs"),
         map(
           lit("text"), col("text_sel.src"),

@@ -84,8 +84,14 @@ final class DedupPipeline(
     * shuffle at scale.
     */
   def candidates(sigs: DataFrame): DataFrame = stage("candidates") {
-    // the exploded key frame feeds five subplans — materialize it once
-    MinHashLsh.fusedCandidates(sigs, cfg, keyed => stage("keyed")(keyed))
+    // The exploded key frame feeds three subplans (hot-key agg, both
+    // self-join sides). Round 1 cached it; round 2 re-derives it per
+    // consumer instead: the explode's inputs (node, simhash, band_keys) are
+    // a column-pruned ~150 B/doc slice of the already-persisted signatures
+    // stage, while caching the exploded form costs ~800 B/doc to write plus
+    // 3 × 800 B/doc to read — and on one box memory bandwidth, not CPU, is
+    // the scaling ceiling (BENCH.md). The explode itself is cheap codegen.
+    MinHashLsh.fusedCandidates(sigs, cfg)
   }
 
   /** Long-exact-overlap tier pairs (node_a, node_b, overlap_len). */
@@ -146,13 +152,15 @@ final class DedupPipeline(
     decisionsDf match {
       case None => base
       case Some(decs) =>
-        // coherence check (c): webtext date spread = distinct warc_ts days
-        val nodeDays = extractedDf.select(
-          xxhash64(col("url")).as("node"), to_date(col("warc_ts")).as("day"))
-        val quality = Synthesis.clusterQuality(labelsDf, decs, cfg, Some(nodeDays))
+        val quality = Synthesis.clusterQuality(labelsDf, decs, cfg)
           .select(col("component"), col("flagged"), col("match_confidence"), col("tier2_assisted"))
         base.join(quality, Seq("component"), "left")
-          .withColumn("flagged", coalesce(col("flagged"), lit(false)))
+          // coherence check (c): webtext date spread = distinct warc_ts
+          // days, computed inside the canonicals aggregation itself (the
+          // labeled frame carries warc_ts — no second extracted scan/join)
+          .withColumn("flagged",
+            coalesce(col("flagged"), lit(false)) ||
+              col("distinct_days") > cfg.cluster.maxDistinctDates)
           .withColumn("tier2_assisted", coalesce(col("tier2_assisted"), lit(false)))
     }
   }
