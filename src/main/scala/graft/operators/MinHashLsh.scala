@@ -123,10 +123,15 @@ object MinHashLsh {
     * heterogeneous mega-buckets degrade recall gracefully instead of
     * exploding. Counts are observable via [[bucketStats]].
     */
-  /** @param materialize persistence hook for the exploded key frame: it is
-    *   consumed by FIVE subplans (hot-key agg, anti-join, both self-join
-    *   sides, the star branch), and without materialization each one re-runs
-    *   the scan + explode — the pipeline passes its stage cache here.
+  /** @param materialize optional persistence hook for the exploded key
+    *   frame (consumed by the hot-key agg, both self-join sides, and the
+    *   star branch when hot buckets exist). The pipeline deliberately passes
+    *   identity: re-deriving the explode from the column-pruned signatures
+    *   cache costs fewer memory BYTES than caching the exploded form
+    *   (~150 B/doc × 3 reads vs ~800 B/doc write + 3 reads), and memory
+    *   bandwidth — not CPU — is the observed scaling ceiling (BENCH.md).
+    *   Callers whose upstream is not persisted (ad-hoc use on a raw scan)
+    *   should still pass a cache here.
     */
   def fusedCandidates(sigs: DataFrame, cfg: GraftConfig,
       materialize: DataFrame => DataFrame = identity): DataFrame = {
