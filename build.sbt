@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver machine-parses the LAST stdout line of `sbt runMain graft.Bench`
+// as JSON. By default sbt wraps forked-process stdout in "[info] " prefixes
+// and appends a "[success] Total time..." trailer — round 2's bench numbers
+// were all emitted but unparseable (BENCH_r02.json `parsed: null`).
+// StdoutOutput passes the child's stdout through raw; showSuccess drops the
+// trailer. graft.Bench additionally mirrors each JSON line to a sidecar file.
+run / outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
 // The executor-JVM scaling protocol (local-cluster master in graft.Bench /
 // graft.BenchScale) spawns real executor processes via the Spark launcher,
 // which needs a Spark dist; /opt/spark/conf holds only templates, so no
