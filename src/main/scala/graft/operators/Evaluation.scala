@@ -60,7 +60,13 @@ object Evaluation {
     val spark = scored.sparkSession
     import spark.implicits._
     val grid = broadcast(thresholds.toDF("threshold"))
+    // One row per key pair (max score wins): a pair scored by multiple tiers
+    // would otherwise multiply its truth row and inflate every confusion
+    // cell — pairMetrics applies the same one-row-per-pair (distinct)
+    // semantics before joining.
     val sc = scored.select((keys.map(col) :+ col("score")): _*)
+      .groupBy(keys.map(col): _*)
+      .agg(max(col("score")).as("score"))
     truth.join(sc, keys, "left")
       .crossJoin(grid)
       .withColumn("__pred", col("score").isNotNull && col("score") >= col("threshold"))

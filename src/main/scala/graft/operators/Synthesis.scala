@@ -108,10 +108,11 @@ object Synthesis {
         min(col("warc_ts")).as("first_seen"),
         max(col("warc_ts")).as("last_seen"),
         // coherence check (c) input, computed here for free — the labeled
-        // frame already carries warc_ts, so the pipeline needs no second
-        // extracted scan/join; approx_count_distinct is mergeable and exact
-        // at threshold-sized cardinalities
-        approx_count_distinct(to_date(col("warc_ts"))).as("distinct_days"),
+        // frame already carries warc_ts. Exact: a hard threshold reads this
+        // (HLL++ can be off by one even at tiny cardinalities), and
+        // collect_set stays one-pass/map-side-combinable — set size is
+        // bounded by the crawl-day span, not cluster size.
+        size(collect_set(to_date(col("warc_ts")))).cast("long").as("distinct_days"),
         selectUnionLists(array(col("lang"))).as("langs")
       )
       .join(members, Seq("component"))
@@ -180,13 +181,14 @@ object Synthesis {
     val withDays = nodeDays match {
       case None => base.withColumn("distinct_days", lit(null).cast("long"))
       case Some(nd) =>
-        // approx_count_distinct: sketch-mergeable (full map-side combine, no
-        // expand like exact countDistinct) and EXACT at small cardinalities
-        // — the only regime the ≤ maxDistinctDates threshold reads.
+        // Exact distinct count via collect_set (one-pass, map-side
+        // combinable; set size bounded by the crawl-day span): the hard
+        // `> maxDistinctDates` flag must not ride on an HLL++ estimate,
+        // which is not guaranteed exact even at tiny cardinalities.
         val days = nd.select(col("node"), col("day"))
           .join(lbl, "node")
           .groupBy("component")
-          .agg(approx_count_distinct(col("day")).as("distinct_days"))
+          .agg(size(collect_set(col("day"))).cast("long").as("distinct_days"))
         base.join(days, Seq("component"), "left")
     }
     withDays.withColumn("flagged",

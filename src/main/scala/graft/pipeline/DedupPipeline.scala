@@ -154,13 +154,19 @@ final class DedupPipeline(
       case Some(decs) =>
         val quality = Synthesis.clusterQuality(labelsDf, decs, cfg)
           .select(col("component"), col("flagged"), col("match_confidence"), col("tier2_assisted"))
+        // coherence check (c) webtext analog: date spread = distinct warc_ts
+        // days, computed inside the canonicals aggregation itself (the
+        // labeled frame carries warc_ts — no second extracted scan/join).
+        // OPT-IN (cfg.cluster.warcDateCriterion): recrawls of one page
+        // across many days are normal in web dedup, so flagging on crawl-day
+        // spread is a policy choice, not a default — mirroring the
+        // reference, where check (c) applies only when event dates exist.
+        val dateClause =
+          if (cfg.cluster.warcDateCriterion)
+            col("distinct_days") > cfg.cluster.maxDistinctDates
+          else lit(false)
         base.join(quality, Seq("component"), "left")
-          // coherence check (c): webtext date spread = distinct warc_ts
-          // days, computed inside the canonicals aggregation itself (the
-          // labeled frame carries warc_ts — no second extracted scan/join)
-          .withColumn("flagged",
-            coalesce(col("flagged"), lit(false)) ||
-              col("distinct_days") > cfg.cluster.maxDistinctDates)
+          .withColumn("flagged", coalesce(col("flagged"), lit(false)) || dateClause)
           .withColumn("tier2_assisted", coalesce(col("tier2_assisted"), lit(false)))
     }
   }

@@ -221,10 +221,17 @@ object EventIngest {
     import spark.implicits._
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
     val w = org.apache.spark.sql.expressions.Window.orderBy(col("id"))
+    // Within-part event order must be the reference's id order contractually:
+    // collect_list does NOT guarantee encounter order through the groupBy
+    // shuffle, so collect (rn, json) structs and sort_array them — struct
+    // order = rn order — before joining.
     val parts = eventsJson
-      .withColumn("__part", (((row_number().over(w) - 1) / chunkSize) + 1).cast("long"))
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__part", (((col("__rn") - 1) / chunkSize) + 1).cast("long"))
       .groupBy(col("__part").as("part"))
-      .agg(array_join(collect_list(col("event_json")), ",").as("events_arr"),
+      .agg(array_join(
+          transform(sort_array(collect_list(struct(col("__rn"), col("event_json")))),
+            s => s.getField("event_json")), ",").as("events_arr"),
         count(lit(1)).as("event_count"))
       .orderBy("part")
       .select("part", "events_arr", "event_count")

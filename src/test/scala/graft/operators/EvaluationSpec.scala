@@ -48,14 +48,30 @@ class EvaluationSpec extends SparkSpec {
     assert(sweep(0.95) == ((0L, 0L, 2L)))
   }
 
+  test("thresholdSweep: multi-tier duplicate scored rows don't inflate counts") {
+    // a-b scored TWICE (e.g. by two tiers): counts must equal the
+    // deduped-pair sweep (max score wins), matching pairMetrics' distinct()
+    val scored = Seq(
+      ("a", "b", 0.9), ("a", "b", 0.6), // duplicate pair, different tiers
+      ("c", "d", 0.6), ("e", "f", 0.8), ("g", "h", 0.2)
+    ).toDF("url_a", "url_b", "score")
+    val sweep = Evaluation.thresholdSweep(scored, truth, Seq(0.5, 0.75))
+      .collect().map(r => r.getAs[Double]("threshold") ->
+        ((r.getAs[Long]("tp"), r.getAs[Long]("fp"), r.getAs[Long]("fn")))).toMap
+    assert(sweep(0.5) == ((2L, 1L, 0L))) // NOT tp=3 (the round-2 inflation)
+    assert(sweep(0.75) == ((1L, 1L, 1L))) // max(0.9, 0.6) ≥ 0.75 → ab predicted
+  }
+
   test("plan audit: sweep is ONE aggregation over a broadcast grid — no driver loop") {
     val scored = Seq(("a", "b", 0.9)).toDF("url_a", "url_b", "score")
     val plan = Evaluation.thresholdSweep(scored, truth)
       .queryExecution.optimizedPlan.toString
-    // exactly one Aggregate node (the grouped conditional counts); the
-    // 8-threshold grid shows up as a join/expand input, never as 8 plans
+    // exactly two Aggregate nodes: the per-pair max-score dedup (one row per
+    // key pair, matching pairMetrics' distinct semantics) and the grouped
+    // conditional counts; the 8-threshold grid shows up as a join/expand
+    // input, never as 8 plans
     val aggs = "(?m)^\\s*[+:\\-\\s]*Aggregate ".r.findAllIn(plan).size
-    assert(aggs == 1, s"expected 1 Aggregate, got $aggs:\n$plan")
+    assert(aggs == 2, s"expected 2 Aggregates (pair-dedup + confusion), got $aggs:\n$plan")
   }
 
   test("plan audit: pairMetrics is one aggregate, one action") {
