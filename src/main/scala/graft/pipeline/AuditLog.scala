@@ -34,10 +34,13 @@ final class AuditLog(spark: SparkSession, path: String) {
   }
 
   /** The full audit history (empty frame with the right schema if nothing
-    * has been appended yet).
+    * has been appended yet). Existence check goes through the Hadoop FS API
+    * so `path` may be file:, hdfs:// or s3a:// (round-2 verdict seam fix).
     */
-  def history(): DataFrame =
-    if (new java.io.File(path).exists()) spark.read.parquet(path)
+  def history(): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) spark.read.parquet(path)
     else spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
       org.apache.spark.sql.types.StructType(Seq(
@@ -45,4 +48,5 @@ final class AuditLog(spark: SparkSession, path: String) {
         org.apache.spark.sql.types.StructField("seq", org.apache.spark.sql.types.LongType),
         org.apache.spark.sql.types.StructField("action", org.apache.spark.sql.types.StringType),
         org.apache.spark.sql.types.StructField("details", org.apache.spark.sql.types.StringType))))
+  }
 }

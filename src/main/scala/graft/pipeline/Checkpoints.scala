@@ -2,7 +2,7 @@ package graft.pipeline
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import java.nio.file.{Files, Paths}
+import org.apache.hadoop.fs.{FileSystem, Path}
 
 /** Stage checkpointing with per-partition lineage + metrics
   * (north_rule: resumable mid-pipeline; SURVEY.md §7.2).
@@ -30,9 +30,23 @@ final class Checkpoints(spark: SparkSession, workDir: String, configHash: String
   private def metaPath(stage: String) = s"$workDir/${stage}__meta.json"
   private def lineagePath(stage: String) = s"$workDir/${stage}__lineage"
 
+  // Hadoop FS, not java.nio: workDir may be file:, hdfs:// or s3a:// — the
+  // meta/lineage sidecars must live next to the parquet data on whatever
+  // filesystem the cluster writes (round-2 verdict: java.io breaks the seam).
+  private def fs(p: String): FileSystem =
+    new Path(p).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
   def isComplete(stage: String): Boolean = {
-    val p = Paths.get(metaPath(stage))
-    Files.exists(p) && new String(Files.readAllBytes(p)).contains(s""""config_hash":"$configHash"""")
+    val p = new Path(metaPath(stage))
+    val f = fs(metaPath(stage))
+    f.exists(p) && {
+      val in = f.open(p)
+      try {
+        val bytes = new Array[Byte](f.getFileStatus(p).getLen.toInt)
+        in.readFully(bytes)
+        new String(bytes, "UTF-8").contains(s""""config_hash":"$configHash"""")
+      } finally in.close()
+    }
   }
 
   /** Run `compute` unless this stage already checkpointed under the current
@@ -53,21 +67,26 @@ final class Checkpoints(spark: SparkSession, workDir: String, configHash: String
         .withColumn("config_hash", lit(configHash))
       lineage.write.mode("overwrite").parquet(lineagePath(name))
       val rows = back.count()
-      Files.createDirectories(Paths.get(workDir))
-      Files.write(
-        Paths.get(metaPath(name)),
-        s"""{"stage":"$name","config_hash":"$configHash","rows":$rows,"wall_ms":$wallMs}""".getBytes
-      )
+      val f = fs(workDir)
+      f.mkdirs(new Path(workDir))
+      val out = f.create(new Path(metaPath(name)), true)
+      try out.write(
+        s"""{"stage":"$name","config_hash":"$configHash","rows":$rows,"wall_ms":$wallMs}"""
+          .getBytes("UTF-8"))
+      finally out.close()
     }
     spark.read.parquet(dataPath(name))
   }
 
   /** All lineage rows across stages (the per-partition metrics table). */
   def lineage(): DataFrame = {
-    val dirs = new java.io.File(workDir).listFiles()
-    val lineageDirs = Option(dirs).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.endsWith("__lineage"))
-      .map(_.getPath)
+    val f = fs(workDir)
+    val root = new Path(workDir)
+    val lineageDirs =
+      if (!f.exists(root)) Array.empty[String]
+      else f.listStatus(root)
+        .filter(st => st.isDirectory && st.getPath.getName.endsWith("__lineage"))
+        .map(_.getPath.toString)
     if (lineageDirs.isEmpty)
       spark.emptyDataFrame
     else

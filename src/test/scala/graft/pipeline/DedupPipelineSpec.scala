@@ -124,6 +124,18 @@ class DedupPipelineSpec extends SparkSpec {
     assert(!ck2.isComplete("decisions"))
   }
 
+  test("checkpoints work with a scheme-qualified file: URI workDir (Hadoop FS seam)") {
+    val local = java.nio.file.Files.createTempDirectory("graft-ckpt-uri")
+    val dir = local.toUri.toString.stripSuffix("/") // "file:///..." form
+    val ck = new Checkpoints(spark, dir, cfg.configHash)
+    val out = ck.stage("s_uri") { pages.limit(7).select($"url") }
+    assert(out.count() == 7)
+    assert(ck.isComplete("s_uri"))
+    assert(ck.lineage().count() > 0)
+    // meta sidecar landed on the target filesystem next to the data
+    assert(java.nio.file.Files.exists(local.resolve("s_uri__meta.json")))
+  }
+
   test("checkpoint crash-consistency: stage data without meta is recomputed") {
     val dir = java.nio.file.Files.createTempDirectory("graft-crash").toString
     val ck = new Checkpoints(spark, dir, cfg.configHash)
