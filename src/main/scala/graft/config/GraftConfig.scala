@@ -53,6 +53,12 @@ final case class ClusterConfig(
       * applied only when per-node dates are supplied — same optionality as
       * the reference's `events_by_id` parameter. */
     maxDistinctDates: Int = 3,
+    /** Opt-in gate for the pipeline's webtext ANALOG of check (c), which
+      * reads crawl (warc_ts) days instead of event dates: recrawls of the
+      * same page across many days are normal web-dedup behavior, so large
+      * legitimate clusters would be flagged if this were always-on. The
+      * reference's check is itself optional (events_by_id may be absent). */
+    warcDateCriterion: Boolean = false,
     /** cap on the materialized member-url list per canonical row: one
       * boilerplate mega-cluster must not put a 10^6-element array into a
       * single aggregation buffer — the labels table IS the full membership
@@ -155,6 +161,8 @@ object GraftConfig {
         maxClusterSize = i("cluster.max_cluster_size", base.cluster.maxClusterSize),
         minInternalSimilarity = d("cluster.min_internal_similarity", base.cluster.minInternalSimilarity),
         maxDistinctDates = i("cluster.max_distinct_dates", base.cluster.maxDistinctDates),
+        warcDateCriterion = overrides.get("cluster.warc_date_criterion")
+          .map(_.toBoolean).getOrElse(base.cluster.warcDateCriterion),
         maxMemberList = i("cluster.max_member_list", base.cluster.maxMemberList)),
       lsh = base.lsh.copy(
         shingleSize = i("lsh.shingle_size", base.lsh.shingleSize),
@@ -183,5 +191,40 @@ object GraftConfig {
     try p.load(in) finally in.close()
     import scala.jdk.CollectionConverters._
     fromMap(p.asScala.toMap, base)
+  }
+
+  /** Table-backed override layer — the reference's runtime config reload
+    * (`/root/reference/src/event_dedup/matching/config.py:165-199` reads the
+    * config from a DB row on EVERY run, YAML as fallback; the API PUTs new
+    * values into that row, `api/routes/config.py`). Our analog: a key-value
+    * parquet table `(key, value)` of dotted override paths. Missing/empty
+    * table → base unchanged (the reference's fallback branch).
+    */
+  def fromTable(spark: org.apache.spark.sql.SparkSession, tablePath: String,
+      base: GraftConfig = default): GraftConfig = {
+    val p = new org.apache.hadoop.fs.Path(tablePath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) base
+    else {
+      val kv = spark.read.parquet(tablePath)
+        .select("key", "value").collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+      fromMap(kv, base)
+    }
+  }
+
+  /** Full reference precedence (`config.py:165-199`): table overrides win
+    * over the properties file, which wins over code defaults — "DB first,
+    * YAML fallback" expressed as layered partial overrides. A re-run picks
+    * up whatever the table holds NOW, which is the batch-engine analog of
+    * the reference's per-run reload.
+    */
+  def load(spark: org.apache.spark.sql.SparkSession,
+      tablePath: Option[String] = None,
+      propertiesPath: Option[String] = None): GraftConfig = {
+    val withProps = propertiesPath
+      .filter(pp => java.nio.file.Files.exists(java.nio.file.Paths.get(pp)))
+      .map(pp => fromPropertiesFile(pp, default)).getOrElse(default)
+    tablePath.map(tp => fromTable(spark, tp, withProps)).getOrElse(withProps)
   }
 }

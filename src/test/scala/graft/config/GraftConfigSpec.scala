@@ -32,4 +32,34 @@ class GraftConfigSpec extends AnyFunSuite {
     assert(a != b)
     assert(a == GraftConfig().configHash)
   }
+
+  test("table-backed overrides: DB-first, YAML fallback precedence (config.py:165-199)") {
+    val spark = graft.SparkSpec.session
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-cfg")
+    // "YAML" layer (properties file): sets threshold 0.7 and bands 32
+    val props = dir.resolve("matching.properties")
+    java.nio.file.Files.write(props,
+      "lsh.jaccard_threshold=0.7\nlsh.bands=32\n".getBytes)
+    // "DB" layer (kv table): overrides threshold only
+    val table = dir.resolve("config_overrides").toString
+    Seq(("lsh.jaccard_threshold", "0.65")).toDF("key", "value")
+      .write.mode("overwrite").parquet(table)
+
+    val cfg = GraftConfig.load(spark, Some(table), Some(props.toString))
+    assert(cfg.lsh.jaccardThreshold == 0.65) // table wins over properties
+    assert(cfg.lsh.bands == 32) // properties win over defaults
+    assert(cfg.thresholds.high == 0.75) // defaults retained
+
+    // missing table → properties layer alone (the reference's fallback)
+    val cfgNoTable = GraftConfig.load(spark, Some(dir.resolve("absent").toString),
+      Some(props.toString))
+    assert(cfgNoTable.lsh.jaccardThreshold == 0.7)
+    // neither layer → pure defaults
+    assert(GraftConfig.load(spark) == GraftConfig.default)
+    // a re-run observes an updated table row (the reference reloads per run)
+    Seq(("lsh.jaccard_threshold", "0.6")).toDF("key", "value")
+      .write.mode("overwrite").parquet(table)
+    assert(GraftConfig.load(spark, Some(table), Some(props.toString)).lsh.jaccardThreshold == 0.6)
+  }
 }
