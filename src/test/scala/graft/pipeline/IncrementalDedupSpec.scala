@@ -59,5 +59,34 @@ class IncrementalDedupSpec extends SparkSpec {
     val s2 = inc.step(s1, spark.range(100L, 200L).map(id => PagesGen.pageOf(42L, id)).toDF())
     assert(n1 == 100 && s2.signatures.count() == 200)
     assert(s2.labels.count() == 200)
+    // the band index and key counts accumulate across folds
+    assert(s2.bands.count() == s2.signatures.count() * cfg.lsh.bands)
+    assert(s2.keyCounts.agg(sum($"n")).as[Long].head() == s2.bands.count())
+  }
+
+  test("fold joins the STORED band index, not bands recomputed from signatures") {
+    // Feed a state whose band index was artificially emptied while its
+    // signatures remain intact, then fold a batch of exact duplicates of the
+    // old corpus. If step re-derived the all-side bands from signatures (the
+    // round-2 ∝-corpus recompute), every duplicate would pair with its
+    // original; reading the stored (empty) index, only new×new pairs can
+    // exist — so NO old node may appear in any edge.
+    val cfg = GraftConfig.default
+    val inc = new IncrementalDedup(spark, cfg)
+    val batch = PagesGen.pages(spark, 80L).toDF()
+    val s1 = inc.step(inc.emptyState, batch)
+    val gutted = s1.copy(
+      bands = s1.bands.limit(0),
+      keyCounts = s1.keyCounts.limit(0))
+    val dup = batch.withColumn("url", concat($"url", lit("#copy")))
+    val s2 = inc.step(gutted, dup)
+    val oldNodes = s1.labels.select($"node").as[Long].collect().toSet
+    // only edges ADDED by this fold matter (state.edges carries fold-1 edges)
+    val priorEdges = s1.edges.as[(Long, Long)].collect().toSet
+    val newEdges = s2.edges.as[(Long, Long)].collect().toSet -- priorEdges
+    val edgeNodes = newEdges.flatMap(e => Seq(e._1, e._2))
+    assert(edgeNodes.nonEmpty, "duplicate batch should at least pair within itself")
+    assert(edgeNodes.intersect(oldNodes).isEmpty,
+      "old nodes in new edges ⇒ the all side was recomputed from signatures")
   }
 }
