@@ -406,6 +406,56 @@ object SparkEntry {
       .select("query_id", "neighbor_id", "rank")
   }
 
+  /** embeddings ∪ byte-identical copies (vec_id + 1,000,000): identical
+    * vectors hash to identical LSH bucket keys in EVERY table and to the same
+    * nearest IVF cell, so each (vector, copy) pair is a guaranteed candidate
+    * with cosine 1.0 under ANY production parameterization — which makes the
+    * production-config ANN plans (bucketed join, no cross product)
+    * DuckDB-oracle-able: the corpus's own max pairwise cosine is < 0.9 (no
+    * planted near-dups in `embeddings`), so rank 1 for each original query is
+    * provably its copy.
+    */
+  private def embWithCopies(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    e.unionByName(e.select((col("vec_id") + 1000000L).as("vec_id"), col("embedding")))
+  }
+
+  /** q30's operator at PRODUCTION params (tables=8, bits=16 — the bucketed
+    * scale plan round-2's verdict asked to bench instead of the degenerate
+    * all-pairs config). Oracled via [[embWithCopies]]: rank-1 neighbor of
+    * every original query is provably its planted copy.
+    */
+  private def q50(s: SparkSession, dir: String): DataFrame = {
+    val corpus = embWithCopies(s, dir)
+    Similarity.lshTopK(corpus, corpus.where(col("vec_id") < 10), 5,
+        tables = 8, bitsPerTable = 16)
+      .where(col("rank") === 1)
+      .select(col("query_id"), col("neighbor_id"), round(col("cosine"), 4).as("cosine"))
+  }
+
+  /** q31's operator at PRODUCTION params: near-dup pairs from the bucketed
+    * LSH join at threshold 0.9. Output restricted to the planted copy pairs
+    * (guaranteed full-table collisions; the corpus has no other pairs ≥ 0.9,
+    * so the restriction drops only sub-threshold noise — none).
+    */
+  private def q51(s: SparkSession, dir: String): DataFrame =
+    Similarity.nearDupPairs(embWithCopies(s, dir), 0.9, tables = 8, bitsPerTable = 16)
+      .where(col("id_b") - col("id_a") === 1000000L)
+      .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine"))
+
+  /** q40's operator at PRODUCTION params (nprobe = 4 < nlist): each query's
+    * copy shares its exact vector, hence its nearest cell — always probed —
+    * so rank 1 is provably the copy while the plan stays the production
+    * cell-bucketed join.
+    */
+  private def q52(s: SparkSession, dir: String): DataFrame = {
+    val corpus = embWithCopies(s, dir)
+    Similarity.ivfTopK(corpus, corpus.where(col("vec_id") < 10), 5,
+        nlist = 16, nprobe = 4)
+      .where(col("rank") === 1)
+      .select(col("query_id"), col("neighbor_id"), round(col("cosine"), 4).as("cosine"))
+  }
+
   // =========================================================================
   // Canonical synthesis aggregates (SURVEY.md §2.7)
   // =========================================================================
@@ -751,6 +801,38 @@ object SparkEntry {
         col("admission_free"), col("source_count"))
   }
 
+  /** FULL `DedupPipeline.run` end-to-end under the driver oracle (round-2
+    * verdict #8): extraction (html decode → article slice → normalize) →
+    * fused MinHash/SimHash candidates → exact-Jaccard verify → tier-1/tier-2
+    * decisions → distributed CC → canonical synthesis, over documents ∪
+    * prefix-boilerplate variants wrapped as pages. Why the oracle is exact:
+    *  - documents text is lowercase single-spaced punctuation-free ASCII, so
+    *    extraction is provably byte-identity on it (the extraction CODE still
+    *    runs; its byte-identity invariant is separately golden-tested);
+    *  - match edges are exactly {exact 3-gram Jaccard ≥ 0.8}: the corpus's
+    *    ambiguous-band pairs ([0.5, 0.8), all ≤ ~101 chars at sf0.01) can
+    *    never reach minOverlapChars = 256, so tier-2 (which DOES run its LCS
+    *    verify on them) provably resolves every one to no_match;
+    *  - cluster labels are then the recursive-CTE CC the oracle computes, and
+    *    canonical_url/member lists are min/sorted aggregations over them.
+    */
+  private def q53(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val corpus = d.select(col("doc_id"), col("text"))
+      .unionByName(d.select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(lit("prefix boilerplate note "), col("text")).as("text")))
+    val pages = corpus.select(
+      format_string("page%07d", col("doc_id")).as("url"),
+      to_timestamp(lit("2026-01-15 00:00:00")).as("warc_ts"),
+      encode(concat(lit("<article>"), col("text"), lit("</article>")), "UTF-8").as("html"),
+      col("text"),
+      lit("en").as("lang"))
+    new DedupPipeline(s, cfg).run(pages)
+      .where(col("source_count") >= 2)
+      .select(col("canonical_url"), col("source_count"),
+        array_join(col("member_urls"), ",").as("members"))
+  }
+
   // =========================================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -802,7 +884,11 @@ object SparkEntry {
     "q46_decontamination" -> (q46 _),
     "q47_bloom_incremental" -> (q47 _),
     "q48_dedup_keep_policy" -> (q48 _),
-    "q49_canonical_events" -> (q49 _)
+    "q49_canonical_events" -> (q49 _),
+    "q50_ann_lsh_topk_prod" -> (q50 _),
+    "q51_embedding_neardup_prod" -> (q51 _),
+    "q52_ann_ivf_topk_prod" -> (q52 _),
+    "q53_full_pipeline" -> (q53 _)
   )
 
   // ---------------------------------------------------------------------
@@ -1381,6 +1467,48 @@ object SparkEntry {
         | SELECT lang, count(*) FILTER (WHERE pred AND truth) AS tp,
         |  count(*) FILTER (WHERE pred AND NOT truth) AS fp,
         |  count(*) FILTER (WHERE NOT pred AND truth) AS fn
-        | FROM p GROUP BY lang""".stripMargin
+        | FROM p GROUP BY lang""".stripMargin,
+    // q50-q52: production-parameter ANN plans. Identical planted copies
+    // collide in every LSH table / share the nearest IVF cell, and the
+    // corpus's own max pairwise cosine is < 0.9, so rank 1 per original
+    // query is provably its copy at cosine 1.0 (see embWithCopies scaladoc).
+    "q50_ann_lsh_topk_prod" ->
+      """SELECT vec_id AS query_id, vec_id + 1000000 AS neighbor_id,
+        | CAST(1.0 AS DOUBLE) AS cosine FROM embeddings WHERE vec_id < 10""".stripMargin,
+    "q51_embedding_neardup_prod" ->
+      """SELECT vec_id AS id_a, vec_id + 1000000 AS id_b,
+        | CAST(1.0 AS DOUBLE) AS cosine FROM embeddings""".stripMargin,
+    "q52_ann_ivf_topk_prod" ->
+      """SELECT vec_id AS query_id, vec_id + 1000000 AS neighbor_id,
+        | CAST(1.0 AS DOUBLE) AS cosine FROM embeddings WHERE vec_id < 10""".stripMargin,
+    // q53: full DedupPipeline.run — extraction is byte-identity on this
+    // ASCII corpus and tier-2 provably resolves every ambiguous pair to
+    // no_match (all ambiguous texts < minOverlapChars), so clusters are the
+    // recursive-CTE CC over exact 3-gram Jaccard >= 0.8 edges.
+    "q53_full_pipeline" ->
+      """WITH RECURSIVE corpus AS (
+        | SELECT printf('page%07d', doc_id) AS url, text FROM documents
+        | UNION ALL
+        | SELECT printf('page%07d', doc_id + 1000000) AS url,
+        |  'prefix boilerplate note ' || text FROM documents),
+        | t AS (SELECT url, string_split(text, ' ') AS toks FROM corpus),
+        | g AS (SELECT url,
+        |   list_distinct(list_transform(generate_series(1, len(toks)-2),
+        |     i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS grams
+        |  FROM t WHERE len(toks) >= 3),
+        | p AS (SELECT a.url ua, b.url ub,
+        |   len(list_intersect(a.grams, b.grams))::DOUBLE /
+        |   len(list_distinct(list_concat(a.grams, b.grams))) AS j
+        |  FROM g a JOIN g b ON a.url < b.url),
+        | e AS (SELECT ua AS src, ub AS dst FROM p WHERE j >= 0.8
+        |       UNION ALL SELECT ub, ua FROM p WHERE j >= 0.8),
+        | reach(node, comp) AS (
+        |   SELECT src, src FROM e
+        |   UNION
+        |   SELECT e.dst, r.comp FROM reach r JOIN e ON e.src = r.node),
+        | lbl AS (SELECT node, min(comp) AS comp FROM reach GROUP BY node)
+        | SELECT min(node) AS canonical_url, count(*) AS source_count,
+        |  string_agg(node, ',' ORDER BY node) AS members
+        | FROM lbl GROUP BY comp HAVING count(*) >= 2""".stripMargin
   )
 }
