@@ -19,6 +19,7 @@ run / fork := true
 // trailer. graft.Bench additionally mirrors each JSON line to a sidecar file.
 run / outputStrategy := Some(StdoutOutput)
 Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // The executor-JVM scaling protocol (local-cluster master in graft.Bench /
 // graft.BenchScale) spawns real executor processes via the Spark launcher,
 // which needs a Spark dist; /opt/spark/conf holds only templates, so no

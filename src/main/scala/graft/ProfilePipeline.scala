@@ -6,9 +6,13 @@ import graft.config.GraftConfig
 import graft.pipeline.DedupPipeline
 
 /** Ad-hoc per-stage profiler for the dedup pipeline (not part of the driver
-  * contract). Usage: runMain graft.ProfilePipeline <level> <nDocs> [rounds]
+  * contract). Usage: runMain graft.ProfilePipeline <level> <nDocs> [rounds] [mode]
   * Level: `N` → local[N] threads; `WxC` → local-cluster with W executor
   * JVMs × C cores (BenchScale syntax; needs SPARK_HOME).
+  * Mode: `persist` (default) caches stages in memory; `ckpt` writes each
+  * stage as parquet to a fresh tmpfs workDir per round (compressed columnar
+  * storage — trades scan bandwidth for codec CPU, the relevant trade on a
+  * bandwidth-ceilinged box).
   */
 object ProfilePipeline {
   def main(args: Array[String]): Unit = {
@@ -39,8 +43,29 @@ object ProfilePipeline {
     val cfg = GraftConfig.default
 
     val rounds = if (args.length > 2) args(2).toInt else 2
+    val flags = if (args.length > 3) args(3).split(",").toSet else Set.empty[String]
+    val ckptMode = flags("ckpt")
+    // bc64: let AQE broadcast runtime-small join sides up to 64 MB (labels,
+    // candidate pairs). Adaptive, not a hint — at 10^12 docs the same config
+    // still shuffles because those sides exceed the threshold.
+    if (flags("bc64")) {
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "64m")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64m")
+    }
     for (r <- 1 to rounds) {
-      val p = new DedupPipeline(spark, cfg)
+      val workDir =
+        if (!ckptMode) None
+        else {
+          val d = s"${sys.props.getOrElse("graft.localDir", "/dev/shm/graft-spark")}/profile_ckpt_$r"
+          val f = new java.io.File(d)
+          def rm(x: java.io.File): Unit = {
+            if (x.isDirectory) Option(x.listFiles()).toSeq.flatten.foreach(rm)
+            x.delete(): Unit
+          }
+          rm(f)
+          Some(d)
+        }
+      val p = new DedupPipeline(spark, cfg, workDir)
       def time(name: String)(df: => DataFrame): DataFrame = {
         val t0 = System.nanoTime()
         val d = df
@@ -57,6 +82,16 @@ object ProfilePipeline {
       time("canonicals")(p.canonicals(lbls, ext, Some(decs)))
       println(f"[profile] r$r TOTAL        ${(System.nanoTime() - t0) / 1e9}%8.2f s")
       p.unpersistAll()
+    }
+    if (ckptMode) {
+      def rm(x: java.io.File): Unit = {
+        if (x.isDirectory) Option(x.listFiles()).toSeq.flatten.foreach(rm)
+        x.delete(): Unit
+      }
+      (1 to rounds).foreach { r =>
+        rm(new java.io.File(
+          s"${sys.props.getOrElse("graft.localDir", "/dev/shm/graft-spark")}/profile_ckpt_$r"))
+      }
     }
     spark.stop()
   }

@@ -66,7 +66,10 @@ final class Checkpoints(spark: SparkSession, workDir: String, configHash: String
         .withColumn("stage", lit(name))
         .withColumn("config_hash", lit(configHash))
       lineage.write.mode("overwrite").parquet(lineagePath(name))
-      val rows = back.count()
+      // total rows = sum over the (tiny) lineage table — one scan of the
+      // stage data builds lineage AND the meta row count
+      val rows = spark.read.parquet(lineagePath(name))
+        .agg(coalesce(sum(col("rows")), lit(0L))).collect()(0).getLong(0)
       val f = fs(workDir)
       f.mkdirs(new Path(workDir))
       val out = f.create(new Path(metaPath(name)), true)
