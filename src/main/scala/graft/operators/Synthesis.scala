@@ -81,8 +81,15 @@ object Synthesis {
     * G1 semantics), member list, counts, time range, langs union, and a
     * field→source provenance map (G10).
     */
-  def canonicals(labeled: DataFrame, cfg: GraftConfig): DataFrame = {
-    val textSel = selectLongest(col("extracted_text"), col("url"))
+  /** @param texts optional (url, extracted_text) frame for the winner-text
+    *   fetch join — pass the pre-join extracted projection (the pipeline
+    *   does) so the fetch branch reads the text column straight from the
+    *   extracted cache instead of re-running the labels join under it;
+    *   defaults to `labeled` itself for callers that only have the joined
+    *   frame.
+    */
+  def canonicals(labeled: DataFrame, cfg: GraftConfig,
+      texts: Option[DataFrame] = None): DataFrame = {
     // Member-list cap: one boilerplate mega-cluster of 10^6 members must NOT
     // materialize a 10^6-element array in a single aggregation buffer (the
     // classic CC-output killer). The labels table is the full membership
@@ -99,11 +106,33 @@ object Synthesis {
       .withColumn("__rn", row_number().over(w))
       .groupBy(col("component"))
       .agg(sort_array(collect_list(when(col("__rn") <= k, col("url")))).as("member_urls"))
-    labeled
+    // Text bytes NEVER enter the aggregation shuffle: the groupBy runs over
+    // a narrow (component, url, warc_ts, lang, text_len) projection and
+    // selects only the WINNING url per cluster (selectLongest order: max
+    // length, tie → min url, empty/null excluded); the winner's text is
+    // fetched afterwards by one url-equi-join against the cached extracted
+    // frame. At web scale the text column is ~50× the narrow columns —
+    // shuffling it through a join + a groupBy (the previous plan) is the
+    // dominant byte cost of the whole stage; the fetch join moves each
+    // cluster's one winning text at most once, and AQE may broadcast the
+    // (component, win_url) side instead, moving ZERO text bytes.
+    // Accept a precomputed `__text_len` (the pipeline projects it BEFORE the
+    // labels join so text bytes never cross that shuffle either — Catalyst
+    // prunes columns through joins but does not push expressions below them)
+    // or derive it here for callers handing the full joined frame.
+    val textLen =
+      if (labeled.columns.contains("__text_len")) col("__text_len")
+      else when(col("extracted_text").isNotNull && length(col("extracted_text")) > 0,
+        length(col("extracted_text")))
+    val agg = labeled
+      .select(col("component"), col("url"), col("warc_ts"), col("lang"),
+        textLen.as("__text_len"))
       .groupBy(col("component"))
       .agg(
         min(col("url")).as("canonical_url"),
-        textSel.as("text_sel"),
+        min(when(col("__text_len").isNotNull,
+          struct((-col("__text_len")).as("neg_len"), col("url").as("src"))))
+          .getField("src").as("__win_url"),
         count(lit(1)).as("source_count"),
         min(col("warc_ts")).as("first_seen"),
         max(col("warc_ts")).as("last_seen"),
@@ -115,11 +144,15 @@ object Synthesis {
         size(collect_set(to_date(col("warc_ts")))).cast("long").as("distinct_days"),
         selectUnionLists(array(col("lang"))).as("langs")
       )
+    val textFrame = texts.getOrElse(labeled)
+      .select(col("url").as("__wurl"), col("extracted_text"))
+    agg
       .join(members, Seq("component"))
+      .join(textFrame, agg("__win_url") === textFrame("__wurl"), "left")
       .select(
         col("component"),
         col("canonical_url"),
-        col("text_sel.value").as("text"),
+        col("extracted_text").as("text"),
         col("member_urls"),
         (col("source_count") > k).as("members_truncated"),
         col("source_count"),
@@ -128,7 +161,7 @@ object Synthesis {
         col("distinct_days"),
         col("langs"),
         map(
-          lit("text"), col("text_sel.src"),
+          lit("text"), col("__win_url"),
           lit("first_seen"), col("canonical_url"),
           lit("langs"), lit("union_all_sources")
         ).as("field_provenance")

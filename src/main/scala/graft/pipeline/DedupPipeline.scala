@@ -145,10 +145,18 @@ final class DedupPipeline(
     */
   def canonicals(labelsDf: DataFrame, extractedDf: DataFrame,
       decisionsDf: Option[DataFrame] = None): DataFrame = stage("canonicals") {
+    // Narrow labels join: `__text_len` is projected BEFORE the join so the
+    // extracted text column never crosses the node shuffle; the winner-text
+    // fetch inside canonicals reads (url, extracted_text) straight off the
+    // extracted cache — text bytes cross at most the ONE fetch join, never
+    // the labels join or the per-cluster aggregation shuffle.
     val labeled = extractedDf
-      .withColumn("node", xxhash64(col("url")))
+      .select(xxhash64(col("url")).as("node"), col("url"), col("warc_ts"), col("lang"),
+        when(col("extracted_text").isNotNull && length(col("extracted_text")) > 0,
+          length(col("extracted_text"))).as("__text_len"))
       .join(labelsDf, "node")
-    val base = Synthesis.canonicals(labeled, cfg)
+    val base = Synthesis.canonicals(labeled, cfg,
+      texts = Some(extractedDf.select(col("url"), col("extracted_text"))))
     decisionsDf match {
       case None => base
       case Some(decs) =>
