@@ -94,18 +94,12 @@ object Synthesis {
     // materialize a 10^6-element array in a single aggregation buffer (the
     // classic CC-output killer). The labels table is the full membership
     // link (SURVEY.md §1.1); `member_urls` is a deterministic first-K-by-url
-    // preview, `members_truncated` says so. The bounding row_number runs
-    // over a NARROW (component, url) projection — windowing the full labeled
-    // rows would drag extracted_text through a sort and defeat the main
-    // aggregation's map-side combine — and its groupBy + the subsequent join
-    // reuse the same hash partitioning, so the cost is one narrow shuffle.
+    // preview, `members_truncated` says so. [[graft.functions.CollectMinK]]
+    // keeps only the k smallest urls in a bounded max-heap buffer, so the
+    // member preview aggregates INSIDE the main groupBy (map-side combine
+    // included) instead of the previous row_number window + second groupBy +
+    // join — one narrow shuffle and a sort fewer.
     val k = cfg.cluster.maxMemberList
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("component")).orderBy(col("url"))
-    val members = labeled.select(col("component"), col("url"))
-      .withColumn("__rn", row_number().over(w))
-      .groupBy(col("component"))
-      .agg(sort_array(collect_list(when(col("__rn") <= k, col("url")))).as("member_urls"))
     // Text bytes NEVER enter the aggregation shuffle: the groupBy runs over
     // a narrow (component, url, warc_ts, lang, text_len) projection and
     // selects only the WINNING url per cluster (selectLongest order: max
@@ -142,12 +136,12 @@ object Synthesis {
         // collect_set stays one-pass/map-side-combinable — set size is
         // bounded by the crawl-day span, not cluster size.
         size(collect_set(to_date(col("warc_ts")))).cast("long").as("distinct_days"),
-        selectUnionLists(array(col("lang"))).as("langs")
+        selectUnionLists(array(col("lang"))).as("langs"),
+        graft.functions.CollectMinK.collectMinK(col("url"), k).as("member_urls")
       )
     val textFrame = texts.getOrElse(labeled)
       .select(col("url").as("__wurl"), col("extracted_text"))
     agg
-      .join(members, Seq("component"))
       .join(textFrame, agg("__win_url") === textFrame("__wurl"), "left")
       .select(
         col("component"),

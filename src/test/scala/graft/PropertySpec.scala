@@ -89,4 +89,22 @@ class PropertySpec extends SparkSpec {
       assert(math.abs(row - trueJ) < 0.13, s"est=$row true=$trueJ")
     }
   }
+
+  test("collect_min_k == sorted collect_list take(k) (15 random groupings)") {
+    val rnd = new scala.util.Random(13)
+    (1 to 15).foreach { trial =>
+      val k = 1 + rnd.nextInt(8)
+      val rows = (1 to 30 + rnd.nextInt(200)).map { _ =>
+        (rnd.nextInt(6).toLong, s"u${rnd.nextInt(1000)}-${rnd.nextInt(100)}")
+      }
+      val df = rows.toDF("g", "v").repartition(7) // force partial agg + merge
+      val got = df.groupBy($"g")
+        .agg(graft.functions.CollectMinK.collectMinK($"v", k).as("mk"))
+        .as[(Long, Seq[String])].collect().toMap
+      val want = rows.groupBy(_._1).map { case (g, vs) =>
+        g -> vs.map(_._2).sorted.take(k)
+      }
+      assert(got == want, s"trial=$trial k=$k")
+    }
+  }
 }
