@@ -201,12 +201,15 @@ object Bench {
     // Internal wall-clock budget: stop adding scaling rounds (never mid-run)
     // once exceeded, so the driver's own timeout can't catch us with an
     // unparseable partial line.
-    // 2800 s default: the scaling block needs ≥2 completed rounds at a
+    // 3200 s default: the scaling block needs ≥2 completed rounds at a
     // compute-dominated corpus size for the median to mean anything (round-2
-    // verdict), and progressive emit + the sidecar file mean a driver kill
-    // mid-round still leaves every completed round parseable.
+    // verdict) — at 2M docs a full paired round (fresh hi+lo clusters, floor
+    // probes, min-of-2 scale reps per level) is ~1,200-1,500 s, so two rounds
+    // plus the query+headline blocks need ~3,000 s. Progressive emit + the
+    // sidecar file mean a driver kill mid-round still leaves every completed
+    // round parseable, so overshooting a driver timeout loses nothing.
     val budgetSecs = sys.env.get("SPARK_GRAFT_BENCH_BUDGET_SECS")
-      .map(_.toDouble).getOrElse(2800.0)
+      .map(_.toDouble).getOrElse(3200.0)
 
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
@@ -306,7 +309,12 @@ object Bench {
         val f = math.min(runPipeline(s, tinyPath), runPipeline(s, tinyPath))
         val t = (1 to scaleReps).map(_ => runPipeline(s, scalePath)).min
         (t, f)
-      } finally s.stop()
+      } finally {
+        // local-cluster teardown can throw (executor heartbeat pools racing
+        // shutdown — observed RejectedExecutionException after a clean run);
+        // a failed stop must not discard the round's measurements.
+        try s.stop() catch { case _: Throwable => () }
+      }
     }
 
     def runRounds(mkHi: => SparkSession, mkLo: => SparkSession,
@@ -315,11 +323,20 @@ object Bench {
       var roundCost = 0.0
       var r = 0
       while (r < maxRounds &&
-          (r == 0 || elapsed + roundCost * 1.2 < budgetSecs)) {
+          (r == 0 || elapsed + roundCost * 1.05 < budgetSecs)) {
         val rt0 = elapsed
-        val (tH, fH) = levelRun(mkHi)
-        val (tL, fL) = levelRun(mkLo)
-        rounds += Round(tH, tL, fH, fL)
+        // A round that dies AFTER earlier rounds completed must keep them:
+        // rethrow (→ thread fallback) only when NO executor round exists,
+        // else the fallback would overwrite real executor-JVM evidence.
+        try {
+          val (tH, fH) = levelRun(mkHi)
+          val (tL, fL) = levelRun(mkLo)
+          rounds += Round(tH, tL, fH, fL)
+        } catch {
+          case e: Throwable if rounds.nonEmpty =>
+            System.err.println(s"[bench] scaling round ${r + 1} failed (${e.getMessage}); keeping ${rounds.size} completed round(s)")
+            return
+        }
         roundCost = elapsed - rt0
         // emit after every round — a kill mid-round still leaves evidence
         val tLoBest = rounds.map(_.tLo).min
