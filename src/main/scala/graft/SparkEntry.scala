@@ -166,7 +166,17 @@ object SparkEntry {
     * 0 same/high, 2 missing-city skip, 4 same/medium, 6 different-city
     * different, 8 low-title different, 10 low-desc skip.
     */
-  private def q13(s: SparkSession, dir: String): DataFrame = {
+  private def q13(s: SparkSession, dir: String): DataFrame =
+    AutoLabeler.label(autoLabelPairs(s, dir))
+      .select(col("doc_id_a"), col("doc_id_b"),
+        round(col("title_sim"), 4).as("title_sim"),
+        round(col("desc_sim"), 4).as("desc_sim"),
+        col("label"), col("confidence"), col("reason"))
+
+  /** The scenario-pinned pair fixture behind q13/q54 (see q13 scaladoc):
+    * (doc_id_a, doc_id_b) = (even, even+1) with title/desc/city chosen so
+    * every kernel value is an exact rational. */
+  private def autoLabelPairs(s: SparkSession, dir: String): DataFrame = {
     val d = t(s, dir, "documents")
     val scen = (col("doc_id") % 12) - (col("doc_id") % 2)
     val side = col("doc_id") % 2
@@ -201,14 +211,28 @@ object SparkEntry {
     val b = ev.select(col("doc_id").as("doc_id_b"), col("title_norm").as("title_b"),
       col("desc_norm").as("desc_b"), col("city_norm").as("city_b"))
       .where(col("doc_id_b") % 2 === 1)
-    val pairs = a.join(b, col("doc_id_a") + 1 === col("doc_id_b"))
+    a.join(b, col("doc_id_a") + 1 === col("doc_id_b"))
       .withColumn("title_sim",
         graft.functions.FuzzKernels.token_sort_ratio(col("title_a"), col("title_b")))
-    AutoLabeler.label(pairs)
-      .select(col("doc_id_a"), col("doc_id_b"),
+  }
+
+  /** Q-extra: the labeling-session queue (labeling_tool.py:105-135) over the
+    * q13 fixture — ground truth is what the auto-labeler already decided
+    * (same/different), so the queue is exactly the cascade's skip pairs
+    * (scen 2 missing-city, scen 10 low-desc), with the CLI's pre-suggestion
+    * flag at auto_threshold 0.90 separating the two scenarios
+    * (scen 2 title_sim 1.0 → suggested, scen 10 30/35 ≈ 0.857 → not). */
+  private def q54(s: SparkSession, dir: String): DataFrame = {
+    val pairs = autoLabelPairs(s, dir)
+      .withColumnRenamed("doc_id_a", "id_a")
+      .withColumnRenamed("doc_id_b", "id_b")
+    val groundTruth = AutoLabeler.label(pairs)
+      .where(col("label").isin("same", "different"))
+      .select(col("id_a"), col("id_b"), col("label"))
+    Labeling.queue(pairs, groundTruth, autoThreshold = 0.90)
+      .select(col("id_a"), col("id_b"),
         round(col("title_sim"), 4).as("title_sim"),
-        round(col("desc_sim"), 4).as("desc_sim"),
-        col("label"), col("confidence"), col("reason"))
+        col("suggested"), col("city_a"), col("city_b"))
   }
 
   // =========================================================================
@@ -888,7 +912,8 @@ object SparkEntry {
     "q50_ann_lsh_topk_prod" -> (q50 _),
     "q51_embedding_neardup_prod" -> (q51 _),
     "q52_ann_ivf_topk_prod" -> (q52 _),
-    "q53_full_pipeline" -> (q53 _)
+    "q53_full_pipeline" -> (q53 _),
+    "q54_labeling_queue" -> (q54 _)
   )
 
   // ---------------------------------------------------------------------
@@ -1509,6 +1534,18 @@ object SparkEntry {
         | lbl AS (SELECT node, min(comp) AS comp FROM reach GROUP BY node)
         | SELECT min(node) AS canonical_url, count(*) AS source_count,
         |  string_agg(node, ',' ORDER BY node) AS members
-        | FROM lbl GROUP BY comp HAVING count(*) >= 2""".stripMargin
+        | FROM lbl GROUP BY comp HAVING count(*) >= 2""".stripMargin,
+    // q54: the labeling queue = the q13 fixture's skip pairs (scen 2, 10);
+    // suggested = title_sim >= 0.90 (scen 2: 1.0, scen 10: 30/35).
+    "q54_labeling_queue" ->
+      """WITH pr AS (
+        | SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.doc_id % 12 AS scen
+        | FROM documents a JOIN documents b ON a.doc_id % 2 = 0 AND b.doc_id = a.doc_id + 1)
+        | SELECT id_a, id_b,
+        |  round(CASE scen WHEN 2 THEN 1.0 ELSE (2.0*15)/35 END, 4) AS title_sim,
+        |  (scen = 2) AS suggested,
+        |  CASE scen WHEN 2 THEN 'freiburg' ELSE 'basel' END AS city_a,
+        |  CASE scen WHEN 2 THEN NULL ELSE 'basel' END AS city_b
+        | FROM pr WHERE scen IN (2, 10)""".stripMargin
   )
 }

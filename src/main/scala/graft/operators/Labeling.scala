@@ -1,0 +1,55 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Ground-truth labeling session surface — the data semantics of the
+  * reference's interactive labeling CLI
+  * (`/root/reference/src/event_dedup/ground_truth/labeling_tool.py`),
+  * re-expressed as set operations. The reference loops candidate pairs,
+  * skips pairs already present in the ground-truth table
+  * (labeling_tool.py:105-114), pre-suggests "same" when
+  * `title_sim >= auto_threshold` (:131-135), persists only explicit
+  * same/different verdicts — skip and quit write nothing (:146-173) — and
+  * reports same/different counts (:179-207). The terminal rendering itself
+  * is interactive I/O, not engine behavior; what the engine owns is queue
+  * construction, idempotent label application, and the session stats.
+  */
+object Labeling {
+
+  /** Pairs still awaiting a label: candidates anti-joined against the
+    * ground-truth table on the canonical (id_a, id_b) key
+    * (labeling_tool.py:105-114), with the pre-suggestion flag
+    * (`title_sim >= autoThreshold`, :131-135) the CLI uses to default the
+    * prompt to "same". Column set beyond the keys/title_sim rides through
+    * unchanged — callers project the side-by-side display fields they need.
+    */
+  def queue(candidates: DataFrame, groundTruth: DataFrame,
+      autoThreshold: Double = 0.85): DataFrame =
+    candidates
+      .join(groundTruth.select("id_a", "id_b"), Seq("id_a", "id_b"), "left_anti")
+      .withColumn("suggested", col("title_sim") >= autoThreshold)
+
+  /** Fold one labeling session's verdicts into the ground-truth table.
+    * Only explicit same/different rows persist (skip/quit drop,
+    * labeling_tool.py:146-159); a pair already labeled keeps its ORIGINAL
+    * label — the reference never reaches the prompt for such pairs
+    * (:107-114), so re-submitting is a no-op, making the fold idempotent.
+    * `session` needs (id_a, id_b, label [, title_similarity, notes]).
+    */
+  def applyLabels(groundTruth: DataFrame, session: DataFrame): DataFrame = {
+    val accepted = session
+      .where(col("label").isin("same", "different"))
+      .join(groundTruth.select("id_a", "id_b"), Seq("id_a", "id_b"), "left_anti")
+      .dropDuplicates("id_a", "id_b")
+    groundTruth.unionByName(accepted, allowMissingColumns = true)
+  }
+
+  /** get_labeling_stats (labeling_tool.py:179-207): one row of
+    * total_labeled / same_count / different_count. */
+  def stats(groundTruth: DataFrame): DataFrame =
+    groundTruth.agg(
+      count(lit(1)).as("total_labeled"),
+      count(when(col("label") === "same", 1)).as("same_count"),
+      count(when(col("label") === "different", 1)).as("different_count"))
+}

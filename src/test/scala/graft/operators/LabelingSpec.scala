@@ -1,0 +1,56 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Labeling-session surface vs the reference CLI's behavior
+  * (labeling_tool.py): already-labeled pairs never re-enter the queue,
+  * only same/different verdicts persist, re-labeling is a no-op, and the
+  * stats block counts labels exactly.
+  */
+class LabelingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def candidates = Seq(
+    ("a", "b", 0.95), ("a", "c", 0.90), ("b", "c", 0.60), ("c", "d", 0.20)
+  ).toDF("id_a", "id_b", "title_sim")
+
+  private def truth = Seq(
+    ("a", "b", "same")
+  ).toDF("id_a", "id_b", "label")
+
+  test("queue drops already-labeled pairs and flags suggestions (labeling_tool.py:105-135)") {
+    val q = Labeling.queue(candidates, truth, autoThreshold = 0.85)
+      .orderBy("id_a", "id_b")
+      .select("id_a", "id_b", "suggested").as[(String, String, Boolean)].collect()
+    assert(q.toSeq == Seq(("a", "c", true), ("b", "c", false), ("c", "d", false)))
+  }
+
+  test("applyLabels keeps only same/different and never overwrites (labeling_tool.py:107-173)") {
+    val session = Seq(
+      ("a", "c", "same"),       // new, persists
+      ("b", "c", "skip"),       // skip never persists
+      ("a", "b", "different"),  // already labeled 'same' — reference skips it
+      ("c", "d", "different"), ("c", "d", "same") // dup submission: one row kept
+    ).toDF("id_a", "id_b", "label")
+    val folded = Labeling.applyLabels(truth, session)
+    assert(folded.count() == 3)
+    val ab = folded.where($"id_a" === "a" && $"id_b" === "b")
+      .select("label").as[String].collect()
+    assert(ab.toSeq == Seq("same"), "pre-existing label must win")
+    assert(folded.where($"label" === "skip").count() == 0)
+    // idempotent: folding the same session again adds nothing
+    assert(Labeling.applyLabels(folded, session).count() == 3)
+    // queue shrinks to exactly the unlabeled remainder
+    val left = Labeling.queue(candidates, folded)
+      .select("id_a", "id_b").as[(String, String)].collect()
+    assert(left.toSeq == Seq(("b", "c")))
+  }
+
+  test("stats counts labels (labeling_tool.py:179-207)") {
+    val gt = Seq(("a", "b", "same"), ("a", "c", "same"), ("c", "d", "different"))
+      .toDF("id_a", "id_b", "label")
+    val row = Labeling.stats(gt).as[(Long, Long, Long)].head()
+    assert(row == ((3L, 2L, 1L)))
+  }
+}
