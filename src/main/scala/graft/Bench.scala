@@ -195,6 +195,81 @@ object Bench {
     if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
   }
 
+  // ---------------------------------------------------------- host probes
+
+  /** Aggregate throughput of one workload per thread (ops/sec, where one
+    * "op" is whatever the workload counts). Each thread runs its workload
+    * twice and only the SECOND pass is timed (first = JIT + page faults).
+    */
+  private def probeThroughput(works: Seq[() => Long]): Double = {
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(works.size)
+    try {
+      def submitAll() = works.map(w => pool.submit(new java.util.concurrent.Callable[Long] {
+        def call(): Long = w()
+      }))
+      submitAll().foreach(_.get())
+      val t0 = System.nanoTime()
+      val ops = submitAll().map(_.get()).sum
+      ops / ((System.nanoTime() - t0) / 1e9)
+    } finally pool.shutdown()
+  }
+
+  /** Why raw 4×-core efficiency < 1 on ONE box, in machine-readable form:
+    * a register-only CPU workload (xorshift64* loop) scales near-linearly
+    * from 4 → 16 threads here, while a memory-streaming workload (strided
+    * sum over a thread-private 64 MiB long array — every load misses cache)
+    * hits the socket's shared-bandwidth ceiling. The dedup pipeline's hot
+    * stages stream persisted columnar batches and shuffle buffers, so its
+    * observed scaling sits between the two probes — at the bandwidth end.
+    * A real cluster's 4N executors bring 4N memory buses; this box cannot.
+    */
+  private def hostProbeJson(): String = {
+    def cpuWork(): () => Long = () => {
+      var x = 0x9e3779b97f4a7c15L; var i = 0
+      while (i < 200000000) { x ^= x >>> 12; x ^= x << 25; x ^= x >>> 27; x *= 0x2545f4914f6cdd1dL; i += 1 }
+      if (x == 0) 199999999L else 200000000L // data-dependence keeps the loop alive
+    }
+    def membwWork(): () => Long = {
+      // THREAD-PRIVATE 8M longs = 64 MiB, touched at stride 8 (one load per
+      // 64-byte cache line) × 16 passes = 1 GiB of bus traffic per run —
+      // far beyond LLC, so every load is a memory access.
+      val arr = new Array[Long](8 * 1024 * 1024)
+      () => {
+        var s = 0L; var pass = 0
+        while (pass < 16) {
+          var i = 0
+          while (i < arr.length) { s += arr(i); i += 8 }
+          pass += 1
+        }
+        if (s == 42L) 0L else 16L * arr.length / 8 // "ops" = cache lines touched
+      }
+    }
+    def membwWriteWork(): () => Long = {
+      // Same shape but STORES: each line costs an RFO read + dirty
+      // writeback (2× the read probe's bus traffic per line) — the shuffle
+      // write / aggregation-buffer side of the pipeline's traffic.
+      val arr = new Array[Long](8 * 1024 * 1024)
+      () => {
+        var v = 1L; var pass = 0
+        while (pass < 16) {
+          var i = 0
+          while (i < arr.length) { arr(i) = v; i += 8 }
+          v += 1; pass += 1
+        }
+        if (arr(0) == -1L) 0L else 16L * arr.length / 8
+      }
+    }
+    try {
+      val cpu4 = probeThroughput(Seq.fill(4)(cpuWork()))
+      val cpu16 = probeThroughput(Seq.fill(16)(cpuWork()))
+      val bw4 = probeThroughput(Seq.fill(4)(membwWork()))
+      val bw16 = probeThroughput(Seq.fill(16)(membwWork()))
+      val wr4 = probeThroughput(Seq.fill(4)(membwWriteWork()))
+      val wr16 = probeThroughput(Seq.fill(16)(membwWriteWork()))
+      f"""{"cpu_ops_4t":$cpu4%.3e,"cpu_ops_16t":$cpu16%.3e,"cpu_scale_4to16":${cpu16 / cpu4}%.2f,"membw_lines_4t":$bw4%.3e,"membw_lines_16t":$bw16%.3e,"membw_scale_4to16":${bw16 / bw4}%.2f,"membw_write_lines_4t":$wr4%.3e,"membw_write_lines_16t":$wr16%.3e,"membw_write_scale_4to16":${wr16 / wr4}%.2f}"""
+    } catch { case _: Throwable => "null" }
+  }
+
   def main(args: Array[String]): Unit = {
     val wallStart = System.nanoTime()
     def elapsed: Double = (System.nanoTime() - wallStart) / 1e9
@@ -236,9 +311,10 @@ object Bench {
     var totalQuerySecs = 0.0
     var dedupJson = "null"
     var scalingJson = "null"
+    var probeJson = "null"
     def emit(): Unit = {
       val line =
-        f"""{"metric":"total","value":$totalQuerySecs%.3f,"unit":"sec","queries":$queriesJson,"sf":"$sfDir","dedup":$dedupJson,"scaling":$scalingJson}"""
+        f"""{"metric":"total","value":$totalQuerySecs%.3f,"unit":"sec","queries":$queriesJson,"sf":"$sfDir","dedup":$dedupJson,"scaling":$scalingJson,"host_probe":$probeJson}"""
       println(line)
       System.out.flush()
       try java.nio.file.Files.write(java.nio.file.Paths.get(sidecar),
@@ -295,6 +371,13 @@ object Bench {
     val scalePath = corpusPath(spark, nScale)
     val tinyPath = corpusPath(spark, 20000L)
     spark.stop()
+
+    // Host decomposition probes (no Spark session alive): quantify how THIS
+    // box scales pure CPU vs memory streaming from 4 → 16 threads, so the
+    // scaling block's raw ratio can be read against the hardware's own
+    // ceiling in the same JSON.
+    probeJson = hostProbeJson()
+    emit()
 
     val maxRounds = sys.env.get("SPARK_GRAFT_SCALE_ROUNDS").map(_.toInt).getOrElse(3)
     // Fresh executor JVMs converge SLOWLY even with pre-touched heaps (JIT
@@ -365,5 +448,11 @@ object Bench {
         }
     }
     emit()
+    // The driver parses the LAST stdout line as JSON. Async teardown threads
+    // (netty pools, executor heartbeats) can still print stack traces after
+    // the final emit — observed racing it by ~2 lines. halt() freezes every
+    // thread NOW, guaranteeing the JSON line stays last; all sessions are
+    // already stopped and the next run cleans stale local dirs itself.
+    Runtime.getRuntime.halt(0)
   }
 }
