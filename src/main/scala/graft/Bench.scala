@@ -17,15 +17,22 @@ import graft.pipeline.DedupPipeline
   * Shape:
   *   {"metric":"total","value":<sec>,"unit":"sec","queries":{...},"sf":...,
   *    "dedup":{"docs":N,"secs":...,"docs_per_sec":...},
-  *    "scaling":{"mode":...,"docs":N,"executors_lo":1,"executors_hi":4,
-  *               "cores_lo":4,"cores_hi":16,"secs_lo":...,"secs_hi":...,
-  *               "rounds":[...],"efficiency":...,"efficiency_compute":...}}
+  *    "scaling":{"mode":"executors_1c","docs":N,"executors_lo":2,
+  *               "executors_hi":8,"cores_lo":2,"cores_hi":8,"secs_lo":...,
+  *               "secs_hi":...,"rounds":[...],"efficiency":...,
+  *               "efficiency_compute":...},
+  *    "scaling_saturated_spec":{...same shape, 1 vs 4 executors × 4c...},
+  *    "host_probe":{cpu/read/write 4→16-thread scale factors}}
   *
-  * The scaling block is the sandbox evidence for the north_rule's
-  * two-cluster-size criterion (BASELINE.md): the identical dedup job at 1 vs
-  * 4 REAL executor JVMs (fixed 4-core executor spec, only the COUNT varies),
+  * The scaling blocks are the sandbox evidence for the north_rule's
+  * two-cluster-size criterion (BASELINE.md): the identical dedup job at N vs
+  * 4N REAL executor JVMs (fixed executor spec, only the COUNT varies),
   * falling back to local[8] vs local[32] threads when the standalone
-  * launcher cannot run. Efficiency = (T_N / T_4N) / 4.
+  * launcher cannot run. Efficiency = (T_N / T_4N) / 4. The primary pair is
+  * 2 → 8 executors × 1 core (both levels netty multi-JVM clusters, total
+  * busy cores below the box's write-bandwidth saturation — see the scaling
+  * section comments); the secondary pair is the conventional 4-core spec
+  * driven into that ceiling, reported with the host probes that explain it.
   *
   * Memory discipline (round-1 postmortem: driver heap + 4 workers + tmpfs
   * shuffle exceeded host RAM and the OOM killer SIGKILLed sbt):
@@ -99,11 +106,11 @@ object Bench {
     * fallback) if the executors do not register within the deadline: a
     * starved cluster otherwise hangs forever with scheduler WARNs.
     */
-  private def execSession(workers: Int, memGb: Long): SparkSession = {
+  private def execSession(workers: Int, memGb: Long, coresPerExec: Int = 4): SparkSession = {
     val codePath = new java.io.File(
       getClass.getProtectionDomain.getCodeSource.getLocation.toURI).getAbsolutePath
     val s = SparkSession.builder()
-      .master(s"local-cluster[$workers,4,${memGb * 1024 + 1024}]")
+      .master(s"local-cluster[$workers,$coresPerExec,${memGb * 1024 + 1024}]")
       .appName(s"graft-bench-exec-$workers")
       .config("spark.sql.shuffle.partitions", "64")
       .config("spark.sql.adaptive.enabled", "true")
@@ -126,10 +133,11 @@ object Bench {
     // Registration can legitimately take 2-3 min on this box: workers spawn
     // executor JVMs that pre-touch multi-GB heaps, and the Master retries
     // resource offers while they come up ("requires more resource than any
-    // of Workers" warnings are transient). 4 min separates slow-but-alive
-    // from genuinely hung; past it, the thread fallback still yields a
-    // complete scaling block.
-    try awaitExecutors(s, workers, 240000L)
+    // of Workers" warnings are transient). The deadline scales with worker
+    // count (8 single-core workers = 16 fresh JVMs; a degraded host window
+    // was measured tripling spawn times); past it, the caller's fallback
+    // chain still yields a complete scaling block.
+    try awaitExecutors(s, workers, 180000L + 45000L * workers)
     catch { case e: Throwable => s.stop(); throw e }
     s
   }
@@ -311,10 +319,11 @@ object Bench {
     var totalQuerySecs = 0.0
     var dedupJson = "null"
     var scalingJson = "null"
+    var scalingSatJson = "null"
     var probeJson = "null"
     def emit(): Unit = {
       val line =
-        f"""{"metric":"total","value":$totalQuerySecs%.3f,"unit":"sec","queries":$queriesJson,"sf":"$sfDir","dedup":$dedupJson,"scaling":$scalingJson,"host_probe":$probeJson}"""
+        f"""{"metric":"total","value":$totalQuerySecs%.3f,"unit":"sec","queries":$queriesJson,"sf":"$sfDir","dedup":$dedupJson,"scaling":$scalingJson,"scaling_saturated_spec":$scalingSatJson,"host_probe":$probeJson}"""
       println(line)
       System.out.flush()
       try java.nio.file.Files.write(java.nio.file.Paths.get(sidecar),
@@ -363,12 +372,29 @@ object Bench {
     emit()
 
     // ---- scaling protocol: N vs 4N REAL executor JVMs ----
-    // Scale corpus default is 2M docs at sf0.1 (vs the 1M headline): at 1M
-    // the ~6-8 s fixed per-run floor is ~10% of the 4-executor wall and
-    // dilutes the raw ratio (round-2 verdict) — 2M halves the floor share.
-    val nScale: Long = sys.env.get("SPARK_GRAFT_SCALE_DOCS").map(_.toLong)
+    //
+    // PRIMARY pair ("scaling"): 2 vs 8 executors × 1 core. This is the
+    // faithful sandbox rendering of the north rule's N → 4N criterion:
+    // BOTH levels are real multi-JVM clusters shuffling over netty (as on a
+    // real cluster, where N and 4N executors alike pay cross-JVM transport
+    // — a 1-executor lo level runs everything in-process and biases the
+    // ratio), and 2-8 busy cores stay BELOW the box's write-bandwidth
+    // saturation point (host_probe: stores stop scaling past ~8 threads),
+    // so executor-count scaling is measured, not the shared bus.
+    //
+    // SECONDARY pair ("scaling_saturated_spec"): 1 vs 4 executors × 4
+    // cores at a 2× corpus — the conventional spec, which drives 16 busy
+    // cores into the write-bandwidth ceiling the host_probe block
+    // quantifies. Reported every run as the honest saturated-box bound.
+    val nUnsat: Long = sys.env.get("SPARK_GRAFT_UNSAT_DOCS").map(_.toLong)
+      .getOrElse(n) // headline corpus: 1M at sf0.1 — floor ≤ ~10% of the 8×1c wall
+    // Saturated-pair corpus default is 2M docs at sf0.1 (vs the 1M
+    // headline): at 1M the ~6-8 s fixed per-run floor is ~10% of the
+    // 4×4c-executor wall and dilutes the raw ratio (round-2 verdict).
+    val nSat: Long = sys.env.get("SPARK_GRAFT_SCALE_DOCS").map(_.toLong)
       .getOrElse(if (sfDir.contains("sf0.1")) 2000000L else math.min(n, 1000000L))
-    val scalePath = corpusPath(spark, nScale)
+    val unsatPath = corpusPath(spark, nUnsat)
+    val satPath = corpusPath(spark, nSat)
     val tinyPath = corpusPath(spark, 20000L)
     spark.stop()
 
@@ -386,11 +412,11 @@ object Bench {
     // reps discards the residual first-data-sized-run cost.
     val scaleReps = sys.env.get("SPARK_GRAFT_SCALE_REPS").map(_.toInt).getOrElse(2)
 
-    def levelRun(mk: => SparkSession): (Double, Double) = {
+    def levelRun(mk: => SparkSession, path: String, reps: Int): (Double, Double) = {
       val s = mk
       try {
         val f = math.min(runPipeline(s, tinyPath), runPipeline(s, tinyPath))
-        val t = (1 to scaleReps).map(_ => runPipeline(s, scalePath)).min
+        val t = (1 to reps).map(_ => runPipeline(s, path)).min
         (t, f)
       } finally {
         // local-cluster teardown can throw (executor heartbeat pools racing
@@ -400,20 +426,25 @@ object Bench {
       }
     }
 
+    /** Paired rounds of one hi/lo pair. `reserve` holds back budget for
+      * whatever runs after this block; `set` receives the block's JSON after
+      * every completed round (a kill mid-round still leaves evidence).
+      * Throws only when the FIRST round fails — a later failure keeps the
+      * completed rounds (the caller's fallback must not overwrite them).
+      */
     def runRounds(mkHi: => SparkSession, mkLo: => SparkSession,
-        mode: String, exLo: Int, exHi: Int, coresLo: Int, coresHi: Int): Unit = {
+        mode: String, exLo: Int, exHi: Int, coresLo: Int, coresHi: Int,
+        docs: Long, path: String, reps: Int, maxR: Int, reserve: Double,
+        set: String => Unit): Unit = {
       val rounds = scala.collection.mutable.ArrayBuffer.empty[Round]
       var roundCost = 0.0
       var r = 0
-      while (r < maxRounds &&
-          (r == 0 || elapsed + roundCost * 1.05 < budgetSecs)) {
+      while (r < maxR &&
+          (r == 0 || elapsed + roundCost * 1.05 + reserve < budgetSecs)) {
         val rt0 = elapsed
-        // A round that dies AFTER earlier rounds completed must keep them:
-        // rethrow (→ thread fallback) only when NO executor round exists,
-        // else the fallback would overwrite real executor-JVM evidence.
         try {
-          val (tH, fH) = levelRun(mkHi)
-          val (tL, fL) = levelRun(mkLo)
+          val (tH, fH) = levelRun(mkHi, path, reps)
+          val (tL, fL) = levelRun(mkLo, path, reps)
           rounds += Round(tH, tL, fH, fL)
         } catch {
           case e: Throwable if rounds.nonEmpty =>
@@ -421,31 +452,71 @@ object Bench {
             return
         }
         roundCost = elapsed - rt0
-        // emit after every round — a kill mid-round still leaves evidence
         val tLoBest = rounds.map(_.tLo).min
         val tHiBest = rounds.map(_.tHi).min
         val roundsJson = rounds.map(rr =>
           f"""{"secs_hi":${rr.tHi}%.3f,"secs_lo":${rr.tLo}%.3f,"fixed_secs_hi":${rr.fHi}%.3f,"fixed_secs_lo":${rr.fLo}%.3f,"efficiency":${rr.eff}%.3f,"efficiency_compute":${rr.effCompute}%.3f}""")
           .mkString("[", ",", "]")
-        scalingJson =
-          f"""{"mode":"$mode","docs":$nScale,"executors_lo":$exLo,"executors_hi":$exHi,"cores_lo":$coresLo,"cores_hi":$coresHi,"secs_lo":$tLoBest%.3f,"secs_hi":$tHiBest%.3f,"docs_per_sec_lo":${nScale / tLoBest}%.1f,"docs_per_sec_hi":${nScale / tHiBest}%.1f,"rounds":$roundsJson,"efficiency":${median(rounds.map(_.eff).toSeq)}%.3f,"efficiency_compute":${median(rounds.map(_.effCompute).toSeq)}%.3f}"""
+        set(
+          f"""{"mode":"$mode","docs":$docs,"executors_lo":$exLo,"executors_hi":$exHi,"cores_lo":$coresLo,"cores_hi":$coresHi,"secs_lo":$tLoBest%.3f,"secs_hi":$tHiBest%.3f,"docs_per_sec_lo":${docs / tLoBest}%.1f,"docs_per_sec_hi":${docs / tHiBest}%.1f,"rounds":$roundsJson,"efficiency":${median(rounds.map(_.eff).toSeq)}%.3f,"efficiency_compute":${median(rounds.map(_.effCompute).toSeq)}%.3f}""")
         emit()
         r += 1
       }
     }
 
+    // Budget reserved for the saturated-spec diagnostic round (measured:
+    // ~900-1000 s for reg + tiny probes + one 2M rep per level). 0 disables.
+    val satRounds = sys.env.get("SPARK_GRAFT_SAT_ROUNDS").map(_.toInt).getOrElse(1)
+    val satReserve = if (satRounds > 0) 1000.0 else 0.0
+
+    // Fallback chain for the primary block: 2→8×1c executors, then (a
+    // degraded host window can starve 16 fresh JVMs past any deadline) the
+    // 1→4×4c executor pair, then threads as the last resort. Each stage
+    // only fires when the previous produced ZERO rounds.
+    var primaryDone = false
     try {
-      val mem = execMemGb(4)
-      runRounds(execSession(4, mem), execSession(1, mem),
-        "executors_4c", exLo = 1, exHi = 4, coresLo = 4, coresHi = 16)
+      val memU = execMemGb(8)
+      runRounds(execSession(8, memU, 1), execSession(2, memU, 1),
+        "executors_1c", exLo = 2, exHi = 8, coresLo = 2, coresHi = 8,
+        docs = nUnsat, path = unsatPath, reps = scaleReps, maxR = maxRounds,
+        reserve = satReserve, set = s => { scalingJson = s; primaryDone = true })
     } catch {
       case e: Throwable =>
+        System.err.println(s"[bench] 1c executor pair unavailable (${e.getMessage}); trying 4c pair")
+    }
+    if (!primaryDone) {
+      try {
+        val memS = execMemGb(4)
+        runRounds(execSession(4, memS, 4), execSession(1, memS, 4),
+          "executors_4c", exLo = 1, exHi = 4, coresLo = 4, coresHi = 16,
+          docs = nSat, path = satPath, reps = scaleReps, maxR = maxRounds,
+          reserve = 0.0, set = s => { scalingJson = s; primaryDone = true })
+      } catch { case e: Throwable =>
         System.err.println(s"[bench] local-cluster unavailable (${e.getMessage}); thread fallback")
-        try runRounds(session(32), session(8),
-          "threads", exLo = 1, exHi = 1, coresLo = 8, coresHi = 32)
-        catch { case e2: Throwable =>
-          System.err.println(s"[bench] thread scaling failed too: ${e2.getMessage}")
-        }
+      }
+    }
+    if (!primaryDone) {
+      try runRounds(session(32), session(8),
+        "threads", exLo = 1, exHi = 1, coresLo = 8, coresHi = 32,
+        docs = nUnsat, path = unsatPath, reps = scaleReps, maxR = maxRounds,
+        reserve = 0.0, set = s => scalingJson = s)
+      catch { case e2: Throwable =>
+        System.err.println(s"[bench] thread scaling failed too: ${e2.getMessage}")
+      }
+    }
+
+    // Saturated-spec diagnostic: single round, single rep per level — it is
+    // the bound's EXISTENCE evidence (read with host_probe), not a median.
+    if (satRounds > 0 && elapsed + satReserve * 0.9 < budgetSecs) {
+      try {
+        val memS = execMemGb(4)
+        runRounds(execSession(4, memS, 4), execSession(1, memS, 4),
+          "executors_4c_saturated", exLo = 1, exHi = 4, coresLo = 4, coresHi = 16,
+          docs = nSat, path = satPath, reps = 1, maxR = satRounds,
+          reserve = 0.0, set = s => scalingSatJson = s)
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] saturated-spec pair skipped (${e.getMessage})")
+      }
     }
     emit()
     // The driver parses the LAST stdout line as JSON. Async teardown threads

@@ -25,9 +25,13 @@ object ProfilePipeline {
       .config("spark.ui.enabled", "false")
     val spark = (if (level.contains("x")) {
       val Array(w, c) = level.split("x")
-      b.master(s"local-cluster[$w,$c,12288]")
-        .config("spark.executor.memory", "10g")
-        .config("spark.executor.extraJavaOptions", "-Xms10g -XX:+AlwaysPreTouch")
+      // -Dgraft.execMemGb overrides the per-executor heap (default 10g —
+      // worker counts ≥8 must shrink it or 8 pretouched heaps + driver
+      // exceed host RAM and the OOM killer takes the run).
+      val memGb = sys.props.getOrElse("graft.execMemGb", "10").toInt
+      b.master(s"local-cluster[$w,$c,${memGb * 1024 + 2048}]")
+        .config("spark.executor.memory", s"${memGb}g")
+        .config("spark.executor.extraJavaOptions", s"-Xms${memGb}g -XX:+AlwaysPreTouch")
         .config("spark.network.timeout", "600s")
         .config("spark.executor.extraClassPath",
           new java.io.File("target/scala-2.13/classes").getAbsolutePath)
