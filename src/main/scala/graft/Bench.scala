@@ -284,15 +284,16 @@ object Bench {
     // Internal wall-clock budget: stop adding scaling rounds (never mid-run)
     // once exceeded, so the driver's own timeout can't catch us with an
     // unparseable partial line.
-    // 3200 s default: the scaling block needs ≥2 completed rounds at a
-    // compute-dominated corpus size for the median to mean anything (round-2
-    // verdict) — at 2M docs a full paired round (fresh hi+lo clusters, floor
-    // probes, min-of-2 scale reps per level) is ~1,200-1,500 s, so two rounds
-    // plus the query+headline blocks need ~3,000 s. Progressive emit + the
-    // sidecar file mean a driver kill mid-round still leaves every completed
-    // round parseable, so overshooting a driver timeout loses nothing.
+    // 3600 s default: the primary scaling block needs ≥2 completed rounds
+    // for the median to mean anything (round-2 verdict). A paired 2→8×1c
+    // round at 1M docs (fresh hi+lo clusters, floor probes, min-of-2 reps
+    // per level) measures ~1,000 s; two of them + the query/headline/probe
+    // blocks + the ~700 s saturated-spec diagnostic need ~3,400 s.
+    // Progressive emit + the sidecar file mean a driver kill mid-round
+    // still leaves every completed round parseable, so overshooting a
+    // driver timeout loses nothing.
     val budgetSecs = sys.env.get("SPARK_GRAFT_BENCH_BUDGET_SECS")
-      .map(_.toDouble).getOrElse(3200.0)
+      .map(_.toDouble).getOrElse(3600.0)
 
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
@@ -465,9 +466,9 @@ object Bench {
     }
 
     // Budget reserved for the saturated-spec diagnostic round (measured:
-    // ~900-1000 s for reg + tiny probes + one 2M rep per level). 0 disables.
+    // ~650-700 s for reg + tiny probes + ONE 2M rep per level). 0 disables.
     val satRounds = sys.env.get("SPARK_GRAFT_SAT_ROUNDS").map(_.toInt).getOrElse(1)
-    val satReserve = if (satRounds > 0) 1000.0 else 0.0
+    val satReserve = if (satRounds > 0) 700.0 else 0.0
 
     // Fallback chain for the primary block: 2→8×1c executors, then (a
     // degraded host window can starve 16 fresh JVMs past any deadline) the
