@@ -177,6 +177,29 @@ object Bench {
     secs
   }
 
+  /** Dup-pair recall of one (untimed) pipeline run against PagesGen's
+    * planted truth, at the SAME corpus the throughput number is measured on
+    * — so the north-rule metric triple (recall ≥ 0.99, docs/sec, scaling
+    * efficiency) lands in one machine-readable JSON line. Mirrors the
+    * DedupPipelineSpec recall gate. Returns -1 on any failure.
+    */
+  private def dedupRecall(spark: SparkSession, path: String, n: Long): Double =
+    try {
+      import org.apache.spark.sql.functions.{col, xxhash64}
+      val pages = spark.read.parquet(path)
+      val p = new DedupPipeline(spark, GraftConfig.default)
+      val res = p.runAll(pages)
+      val urlNode = pages.select(col("url"), xxhash64(col("url")).as("node"))
+        .join(res.labels, "node").select(col("url"), col("component"))
+      val joined = PagesGen.truthPairs(spark, n).where(col("label") === "same")
+        .join(urlNode.toDF("url_a", "comp_a"), "url_a")
+        .join(urlNode.toDF("url_b", "comp_b"), "url_b")
+      val total = joined.count()
+      val hit = joined.where(col("comp_a") === col("comp_b")).count()
+      p.unpersistAll()
+      if (total == 0) -1.0 else hit.toDouble / total
+    } catch { case _: Throwable => -1.0 }
+
   // ------------------------------------------------------------------ main
 
   /** One paired scaling round: (tHi, tLo, floorHi, floorLo).
@@ -369,7 +392,8 @@ object Bench {
     runPipeline(spark, path) // warm-up (JIT, page cache)
     val tHi = math.min(runPipeline(spark, path), runPipeline(spark, path))
     val thrHi = n / tHi
-    dedupJson = f"""{"docs":$n,"secs":$tHi%.3f,"docs_per_sec":$thrHi%.1f}"""
+    val recall = dedupRecall(spark, path, n)
+    dedupJson = f"""{"docs":$n,"secs":$tHi%.3f,"docs_per_sec":$thrHi%.1f,"recall":$recall%.4f}"""
     emit()
 
     // ---- scaling protocol: N vs 4N REAL executor JVMs ----
@@ -406,12 +430,15 @@ object Bench {
     probeJson = hostProbeJson()
     emit()
 
-    val maxRounds = sys.env.get("SPARK_GRAFT_SCALE_ROUNDS").map(_.toInt).getOrElse(3)
-    // Fresh executor JVMs converge SLOWLY even with pre-touched heaps (JIT
-    // tiers, codegen caches, netty pools: 542 → 69 → 59 → 52 s measured at
-    // 4×4c/1M): the tiny probes warm the code paths, then min-of-2 scale
-    // reps discards the residual first-data-sized-run cost.
-    val scaleReps = sys.env.get("SPARK_GRAFT_SCALE_REPS").map(_.toInt).getOrElse(2)
+    // MORE, CHEAPER rounds beat fewer careful ones on this host: steal
+    // windows drift on ~30-min scales and swing identical runs 3×, so the
+    // round median is only as good as the number of windows it samples.
+    // Default: single scale rep per level (the tiny probes already absorb
+    // most fresh-JVM JIT convergence) × up to 5 paired rounds — ~600 s per
+    // round leaves 3-4 completed rounds inside the budget, vs 2 with
+    // min-of-2 reps at ~1,000 s per round.
+    val maxRounds = sys.env.get("SPARK_GRAFT_SCALE_ROUNDS").map(_.toInt).getOrElse(5)
+    val scaleReps = sys.env.get("SPARK_GRAFT_SCALE_REPS").map(_.toInt).getOrElse(1)
 
     def levelRun(mk: => SparkSession, path: String, reps: Int): (Double, Double) = {
       val s = mk
