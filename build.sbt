@@ -51,12 +51,19 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
-// Driver heap is CLAMPED against host RAM: with -Xms=-Xmx -XX:+AlwaysPreTouch
-// the full heap is resident at JVM start, and the bench's local-cluster
-// scaling protocol spawns 4 additional executor JVMs plus tmpfs shuffle on
-// the same box — an unclamped SPARK_DRIVER_MEM (round 1 saw ~90g requested
-// on a 125 GiB host) leaves no room and the OOM killer takes the run
-// (exit 137). Cap at 30% of MemTotal so driver + 4 executors + tmpfs fit.
+// Forked-JVM heap is LEAN by default (10 g, still -Xms=-Xmx pre-touched: a
+// lazily-grown heap makes concurrent first-touch page faults serialize on
+// the kernel mmap lock — measured 3-6x stage slowdowns at local[32]).
+// Round 3 postmortem: a build-wide ~24 g pre-touched heap meant EVERY
+// forked task — including graft.Verify, which needs ~4 g — was ~24 g
+// resident from JVM start, so a driver-side Verify co-residing with any
+// other large process was first in line for the OOM killer and the round's
+// correctness gate came back empty. Only graft.Bench's local[32] headline
+// needs the big heap; Bench scopes it to itself by re-execing ONE child
+// JVM with -Xms=-Xmx=min(24g, 30% MemTotal) (see Bench.relaunchedWithBigHeap).
+// The clamp (30% of MemTotal) still applies to an explicit SPARK_DRIVER_MEM:
+// round 1 saw ~90 g requested on a 125 GiB host and the OOM killer took
+// sbt (exit 137) once the scaling protocol's executor JVMs spawned.
 val sparkHeap: String = {
   def gb(s: String): Long = {
     val t = s.trim.toLowerCase
@@ -69,7 +76,7 @@ val sparkHeap: String = {
       .find(_.startsWith("MemTotal")).map(_.replaceAll("[^0-9]", "").toLong / 1048576L)
       .getOrElse(64L)
     catch { case _: Throwable => 64L }
-  val requested = gb(sys.env.getOrElse("SPARK_DRIVER_MEM", "24g"))
+  val requested = gb(sys.env.getOrElse("SPARK_DRIVER_MEM", "10g"))
   math.max(8L, math.min(requested, hostGb * 3 / 10)).toString + "g"
 }
 javaOptions ++= jdk17AddOpens ++ Seq(

@@ -1509,7 +1509,10 @@ object SparkEntry {
     // q53: full DedupPipeline.run — extraction is byte-identity on this
     // ASCII corpus and tier-2 provably resolves every ambiguous pair to
     // no_match (all ambiguous texts < minOverlapChars), so clusters are the
-    // recursive-CTE CC over exact 3-gram Jaccard >= 0.8 edges.
+    // recursive-CTE CC over exact 3-gram Jaccard >= 0.8 edges. `members`
+    // mirrors CollectMinK's sorted-k truncation (k = cluster.maxMemberList
+    // = 1000) via list_slice(list_sort(...), 1, 1000), so the gate stays
+    // exact for ANY cluster size, not just fixtures under the cap.
     "q53_full_pipeline" ->
       """WITH RECURSIVE corpus AS (
         | SELECT printf('page%07d', doc_id) AS url, text FROM documents
@@ -1533,7 +1536,7 @@ object SparkEntry {
         |   SELECT e.dst, r.comp FROM reach r JOIN e ON e.src = r.node),
         | lbl AS (SELECT node, min(comp) AS comp FROM reach GROUP BY node)
         | SELECT min(node) AS canonical_url, count(*) AS source_count,
-        |  string_agg(node, ',' ORDER BY node) AS members
+        |  array_to_string(list_slice(list_sort(list(node)), 1, 1000), ',') AS members
         | FROM lbl GROUP BY comp HAVING count(*) >= 2""".stripMargin,
     // q54: the labeling queue = the q13 fixture's skip pairs (scen 2, 10);
     // suggested = title_sim >= 0.90 (scen 2: 1.0, scen 10: 30/35).

@@ -1,27 +1,25 @@
 package graft
 import org.apache.spark.sql.SparkSession
-import java.nio.file.{Files, Paths}
+import java.nio.file.{Files, Paths, StandardOpenOption}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
-  * plus oracle_sql.json, for the driver's DuckDB compare. */
+  * plus oracle_sql.json, for the driver's DuckDB compare.
+  *
+  * Round-3 postmortem hardening (the round's CORRECTNESS file came back `{}`
+  * with no error trail — indistinguishable from "no queries exist"):
+  *  - `oracle_sql.json` is written FIRST, before any Spark work, so a
+  *    mid-run kill leaves the driver a partial gate (the queries that
+  *    completed) instead of an empty one;
+  *  - every query appends one JSON line to `verify_progress.jsonl`
+  *    (name, ok/err, seconds) — forensic evidence that survives any kill
+  *    and makes a crashed gate distinguishable from an empty one;
+  *  - the forked heap is lean (build.sbt default 10 g — the old build-wide
+  *    pre-touched 24 g made Verify the OOM killer's first target).
+  */
 object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
-      }
-    }
+
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
@@ -37,6 +35,40 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+
+    val progress = Paths.get(s"$outDir/verify_progress.jsonl")
+    def note(line: String): Unit = {
+      try Files.writeString(progress, line + "\n",
+        StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+      catch { case _: Throwable => () }
+      System.err.println(s"[verify] $line")
+    }
+
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    var ok = 0
+    var err = 0
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      val t0 = System.nanoTime()
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        ok += 1
+        note(f"""{"query":"$name","ok":true,"secs":${(System.nanoTime() - t0) / 1e9}%.2f}""")
+      } catch { case e: Throwable =>
+        err += 1
+        val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
+          .replaceAll("[\"\\\\\\n\\r\\t]", " ").take(300)
+        note(f"""{"query":"$name","ok":false,"secs":${(System.nanoTime() - t0) / 1e9}%.2f,"err":"$msg"}""")
+      }
+    }
+    note(s"""{"done":true,"ok":$ok,"err":$err,"total":${SparkEntry.queries.size}}""")
     spark.stop()
   }
 }

@@ -202,13 +202,35 @@ object GraftConfig {
     */
   def fromTable(spark: org.apache.spark.sql.SparkSession, tablePath: String,
       base: GraftConfig = default): GraftConfig = {
+    import org.apache.spark.sql.functions.{col, lit}
     val p = new org.apache.hadoop.fs.Path(tablePath)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) base
     else {
-      val kv = spark.read.parquet(tablePath)
-        .select("key", "value").collect()
-        .map(r => r.getString(0) -> r.getString(1)).toMap
+      // The reference's DB config is one unique row; this parquet table has
+      // no uniqueness guarantee, so resolve deterministically instead of
+      // by arbitrary row order (and never NPE on a null cell): null
+      // keys/values are dropped; duplicate keys resolve by the highest
+      // `version` column when present; without a version column, exact
+      // duplicates are tolerated but CONFLICTING values for one key fail
+      // fast — silently picking either would make two runs of the same
+      // pipeline diverge on config.
+      val df = spark.read.parquet(tablePath)
+      val withV =
+        if (df.columns.contains("version"))
+          df.select(col("key"), col("value"), col("version").cast("long").as("v"))
+        else df.select(col("key"), col("value"), lit(0L).as("v"))
+      val rows = withV
+        .where(col("key").isNotNull && col("value").isNotNull)
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      val kv = rows.groupBy(_._1).map { case (k, group) =>
+        val vals = group.map(g => (g._3, g._2)).distinct
+        if (!df.columns.contains("version") && vals.map(_._2).distinct.length > 1)
+          throw new IllegalArgumentException(
+            s"config table $tablePath holds conflicting values for key '$k' " +
+              s"and no version column to resolve them: ${vals.map(_._2).mkString(", ")}")
+        k -> vals.max._2 // (version, value) max — deterministic tie-break
+      }
       fromMap(kv, base)
     }
   }

@@ -36,13 +36,35 @@ object Labeling {
     * label — the reference never reaches the prompt for such pairs
     * (:107-114), so re-submitting is a no-op, making the fold idempotent.
     * `session` needs (id_a, id_b, label [, title_similarity, notes]).
+    *
+    * Within ONE session the reference CLI prompts once per pair, so two
+    * verdicts for the same pair cannot arise there; if a session frame
+    * carries them anyway, resolution is deterministic, never arbitrary
+    * row order: first answer wins by the `seq` column when present
+    * (the CLI's prompt order), otherwise conflicting verdicts fail fast
+    * and exact duplicates collapse.
     */
   def applyLabels(groundTruth: DataFrame, session: DataFrame): DataFrame = {
     val accepted = session
       .where(col("label").isin("same", "different"))
       .join(groundTruth.select("id_a", "id_b"), Seq("id_a", "id_b"), "left_anti")
-      .dropDuplicates("id_a", "id_b")
-    groundTruth.unionByName(accepted, allowMissingColumns = true)
+    val resolved =
+      if (accepted.columns.contains("seq")) {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("id_a", "id_b").orderBy(col("seq"))
+        accepted.withColumn("__rn", row_number().over(w))
+          .where(col("__rn") === 1).drop("__rn")
+      } else {
+        val conflicts = accepted.groupBy("id_a", "id_b")
+          .agg(countDistinct("label").as("n")).where(col("n") > 1)
+        // session frames are human-sized; the eager check is cheap
+        if (!conflicts.isEmpty)
+          throw new IllegalArgumentException(
+            "labeling session holds conflicting verdicts for one pair and no " +
+              "seq column to order them (first-answer-wins needs a prompt order)")
+        accepted.dropDuplicates("id_a", "id_b")
+      }
+    groundTruth.unionByName(resolved, allowMissingColumns = true)
   }
 
   /** get_labeling_stats (labeling_tool.py:179-207): one row of

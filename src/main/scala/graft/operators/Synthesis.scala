@@ -139,8 +139,18 @@ object Synthesis {
         selectUnionLists(array(col("lang"))).as("langs"),
         graft.functions.CollectMinK.collectMinK(col("url"), k).as("member_urls")
       )
+    // One row per url on the fetch side: the aggregate above can never emit
+    // more than one row per component, and a dirty ingest with duplicate
+    // urls in `texts` must not re-multiply canonicals through this join.
+    // Scale cost: ~zero when the join shuffles (the dedup's Exchange on
+    // __wurl IS the hash partitioning the join needs — Catalyst reuses it,
+    // so text bytes still cross exactly one shuffle); only a
+    // broadcast-joinable agg side (small cluster count vs big corpus — a
+    // shape the pipeline never produces) would pay an exchange it could
+    // otherwise have skipped.
     val textFrame = texts.getOrElse(labeled)
       .select(col("url").as("__wurl"), col("extracted_text"))
+      .dropDuplicates("__wurl")
     agg
       .join(textFrame, agg("__win_url") === textFrame("__wurl"), "left")
       .select(

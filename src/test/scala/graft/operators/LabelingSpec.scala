@@ -27,17 +27,22 @@ class LabelingSpec extends SparkSpec {
   }
 
   test("applyLabels keeps only same/different and never overwrites (labeling_tool.py:107-173)") {
+    // seq = the CLI's prompt order: conflicting verdicts for one pair
+    // resolve first-answer-wins, deterministically.
     val session = Seq(
-      ("a", "c", "same"),       // new, persists
-      ("b", "c", "skip"),       // skip never persists
-      ("a", "b", "different"),  // already labeled 'same' — reference skips it
-      ("c", "d", "different"), ("c", "d", "same") // dup submission: one row kept
-    ).toDF("id_a", "id_b", "label")
+      ("a", "c", "same", 1L),       // new, persists
+      ("b", "c", "skip", 2L),       // skip never persists
+      ("a", "b", "different", 3L),  // already labeled 'same' — reference skips it
+      ("c", "d", "different", 4L), ("c", "d", "same", 5L) // first answer wins
+    ).toDF("id_a", "id_b", "label", "seq")
     val folded = Labeling.applyLabels(truth, session)
     assert(folded.count() == 3)
     val ab = folded.where($"id_a" === "a" && $"id_b" === "b")
       .select("label").as[String].collect()
     assert(ab.toSeq == Seq("same"), "pre-existing label must win")
+    val cd = folded.where($"id_a" === "c" && $"id_b" === "d")
+      .select("label").as[String].collect()
+    assert(cd.toSeq == Seq("different"), "first answer (lowest seq) must win")
     assert(folded.where($"label" === "skip").count() == 0)
     // idempotent: folding the same session again adds nothing
     assert(Labeling.applyLabels(folded, session).count() == 3)
@@ -45,6 +50,18 @@ class LabelingSpec extends SparkSpec {
     val left = Labeling.queue(candidates, folded)
       .select("id_a", "id_b").as[(String, String)].collect()
     assert(left.toSeq == Seq(("b", "c")))
+  }
+
+  test("applyLabels without a seq column: exact duplicates collapse, conflicts fail fast") {
+    val dupOnly = Seq(("a", "c", "same"), ("a", "c", "same"))
+      .toDF("id_a", "id_b", "label")
+    assert(Labeling.applyLabels(truth, dupOnly).count() == 2)
+    val conflict = Seq(("c", "d", "same"), ("c", "d", "different"))
+      .toDF("id_a", "id_b", "label")
+    val e = intercept[IllegalArgumentException] {
+      Labeling.applyLabels(truth, conflict)
+    }
+    assert(e.getMessage.contains("conflicting verdicts"))
   }
 
   test("stats counts labels (labeling_tool.py:179-207)") {
