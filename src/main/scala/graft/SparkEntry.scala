@@ -857,6 +857,54 @@ object SparkEntry {
         array_join(col("member_urls"), ",").as("members"))
   }
 
+  /** Production form of q45 (round-3 verdict #6): per-lang quantiles via the
+    * `approx_percentile` SKETCH — mergeable, one map-side-combined pass, no
+    * per-lang total sort (q45's exact-window form is a full per-lang sort —
+    * its oracle role stays, but it is not the 10^12-row plan). The oracle
+    * gate needs exact equality, so the query emits a rank-error CERTIFICATE
+    * instead of the raw sketch values: approx_percentile(accuracy = 100)
+    * guarantees the returned value's true rank is within n/100 of the
+    * target rank, and the certificate verifies that bound with one exact
+    * counting pass (true rank interval [#<v, #<=v] must intersect
+    * target ± 2%·n ± 1). DuckDB's side is then the constant-true row per
+    * lang — exact, engine-portable, and meaningful: a broken sketch or a
+    * broken bound fails the gate.
+    */
+  private def q55(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").select(col("lang"), col("n_chars"))
+    val sk = d.groupBy("lang").agg(
+      percentile_approx(col("n_chars"), lit(0.5), lit(100)).as("v50"),
+      percentile_approx(col("n_chars"), lit(0.9), lit(100)).as("v90"))
+    d.join(broadcast(sk), "lang")
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col("n_chars") < col("v50"), 1L).otherwise(0L)).as("lt50"),
+        sum(when(col("n_chars") <= col("v50"), 1L).otherwise(0L)).as("le50"),
+        sum(when(col("n_chars") < col("v90"), 1L).otherwise(0L)).as("lt90"),
+        sum(when(col("n_chars") <= col("v90"), 1L).otherwise(0L)).as("le90"))
+      .select(col("lang"), col("n"),
+        (col("lt50") <= col("n") * 0.52 + 1 && col("le50") >= col("n") * 0.48 - 1).as("p50_ok"),
+        (col("lt90") <= col("n") * 0.92 + 1 && col("le90") >= col("n") * 0.88 - 1).as("p90_ok"))
+  }
+
+  /** The flagship `entry()` itself under the driver oracle (round-3 verdict
+    * #7; EntrySmoke's rows=120 was smoke-only). `entry` runs the full dedup
+    * pipeline over the seeded PagesGen corpus (n=2000, seed 42), whose
+    * planted cluster layout is pure modular arithmetic on the group id
+    * (PagesGen.dupSlots: types 6,7 → size 2+gid%3, type 8 → exact pair), so
+    * the multi-member cluster-size histogram is closed-form — the DuckDB
+    * side derives it from generate_series, no data files involved. Equality
+    * holds iff the pipeline finds every planted cluster exactly (recall AND
+    * precision 1.0 on this corpus — the same invariant DedupPipelineSpec
+    * asserts via truthPairs).
+    */
+  private def q56(s: SparkSession, dir: String): DataFrame =
+    entry(s)
+      .groupBy(col("source_count"))
+      .agg(count(lit(1)).as("n_clusters"))
+      .select(col("source_count").cast("long").as("cluster_size"), col("n_clusters"))
+
   // =========================================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -913,7 +961,9 @@ object SparkEntry {
     "q51_embedding_neardup_prod" -> (q51 _),
     "q52_ann_ivf_topk_prod" -> (q52 _),
     "q53_full_pipeline" -> (q53 _),
-    "q54_labeling_queue" -> (q54 _)
+    "q54_labeling_queue" -> (q54 _),
+    "q55_length_quantiles_prod" -> (q55 _),
+    "q56_entry_clusters" -> (q56 _)
   )
 
   // ---------------------------------------------------------------------
@@ -1549,6 +1599,23 @@ object SparkEntry {
         |  (scen = 2) AS suggested,
         |  CASE scen WHEN 2 THEN 'freiburg' ELSE 'basel' END AS city_a,
         |  CASE scen WHEN 2 THEN NULL ELSE 'basel' END AS city_b
-        | FROM pr WHERE scen IN (2, 10)""".stripMargin
+        | FROM pr WHERE scen IN (2, 10)""".stripMargin,
+    // q55: rank-error certificate of the approx_percentile sketch — the
+    // oracle asserts every lang's sketch answer sits within the guaranteed
+    // rank band (2%·n + 1 slack at accuracy=100), plus the exact counts.
+    "q55_length_quantiles_prod" ->
+      """SELECT lang, count(*) AS n,
+        | CAST(1 AS BOOLEAN) AS p50_ok, CAST(1 AS BOOLEAN) AS p90_ok
+        | FROM documents GROUP BY lang""".stripMargin,
+    // q56: the flagship entry() cluster-size histogram; PagesGen's planted
+    // layout (n=2000 ⇒ 400 groups, seed 42) is closed-form modular
+    // arithmetic, so the oracle derives it from generate_series alone:
+    // types 6,7 plant a cluster of size 2+gid%3, type 8 an exact pair.
+    "q56_entry_clusters" ->
+      """WITH g AS (SELECT unnest(generate_series(0, 399)) AS gid),
+        | d AS (SELECT CASE WHEN gid % 10 IN (6, 7) THEN 2 + (gid % 3)
+        |               WHEN gid % 10 = 8 THEN 2 END AS sz FROM g)
+        | SELECT CAST(sz AS BIGINT) AS cluster_size, count(*) AS n_clusters
+        | FROM d WHERE sz IS NOT NULL GROUP BY sz""".stripMargin
   )
 }

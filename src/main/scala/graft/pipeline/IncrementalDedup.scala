@@ -28,18 +28,22 @@ import graft.operators._
   *   5. CC re-run ONLY on components touched by a new edge; untouched
   *      labels stream through unchanged.
   *
-  * Remaining ∝-corpus term, stated honestly: the new×all join still SHUFFLES
-  * the stored `(key, node)` index (16 B/row — ~4× fewer bytes than the
-  * minhash re-scan it replaced, and none of the band-hash CPU). On a real
-  * cluster the index lives as a table BUCKETED by key, making the stored
-  * side of that join shuffle-free; parquet-bucketing is the [[Checkpoints]]
-  * seam, same as every other stage table here.
+  * The stored side of the new×all join no longer shuffles per fold: with a
+  * [[Checkpoints]] instance the band index lives as a parquet table
+  * BUCKETED by `key` ([[Checkpoints.bucketedAppend]]) — each fold APPENDS
+  * the new batch's bands (one file per bucket) and the join reads the
+  * stored side pre-partitioned by key, so the only per-fold shuffle is the
+  * batch-sized new side (IncrementalDedupSpec asserts the stored scan has
+  * no Exchange above it). Without checkpoints (in-memory state, tests) the
+  * index is a unioned DataFrame and shuffles per fold — fine at test
+  * scale, the table-backed form is the 10^12-doc path.
   *
   * Determinism: labels are component minima, so an incremental fold of
   * A then B yields byte-identical labels to a full run over A ∪ B —
-  * asserted by IncrementalDedupSpec.
+  * asserted by IncrementalDedupSpec (in both state-backends).
   */
-final class IncrementalDedup(spark: SparkSession, cfg: GraftConfig = GraftConfig.default) {
+final class IncrementalDedup(spark: SparkSession, cfg: GraftConfig = GraftConfig.default,
+    checkpoints: Option[Checkpoints] = None, bandBuckets: Int = 64) {
 
   /** (signatures, band index, per-key counts, matchEdges, labels) — the
     * persisted dedup state. `bands` is the (key, node) candidate index;
@@ -90,17 +94,18 @@ final class IncrementalDedup(spark: SparkSession, cfg: GraftConfig = GraftConfig
     val newCounts = newBands.groupBy("key").agg(count(lit(1)).as("n"))
     val keyCounts = state.keyCounts.unionByName(newCounts)
       .groupBy("key").agg(sum(col("n")).as("n"))
-    val allBands = state.bands.unionByName(newBands)
+    // table-backed index: append this batch's bands to the bucketed table
+    // and join against THAT (pre-partitioned scan, no stored-side shuffle);
+    // in-memory fallback unions onto the previous state's frame.
+    val allBands = checkpoints match {
+      case Some(ck) => ck.bucketedAppend("bands_index", newBands, "key", bandBuckets)
+      case None => state.bands.unionByName(newBands)
+    }
     val hot = keyCounts.where(col("n") > cfg.lsh.maxBucketSize).select("key")
 
     // candidates touching the new batch: new-side bands join the stored
     // index (+ the batch itself) — the only band-key work ∝ batch size
-    val a = newBands.join(broadcast(hot), Seq("key"), "left_anti").alias("a")
-    val b = allBands.join(broadcast(hot), Seq("key"), "left_anti").alias("b")
-    val cands = a.join(b, col("a.key") === col("b.key") && col("a.node") =!= col("b.node"))
-      .select(least(col("a.node"), col("b.node")).as("node_a"),
-        greatest(col("a.node"), col("b.node")).as("node_b"))
-      .dropDuplicates("node_a", "node_b")
+    val cands = candidateJoin(newBands, allBands, hot)
 
     val newEdges = MinHashLsh.verify(cands, allSigs, cfg)
       .where(col("exact_jaccard") >= cfg.lsh.jaccardThreshold)
@@ -130,11 +135,27 @@ final class IncrementalDedup(spark: SparkSession, cfg: GraftConfig = GraftConfig
     // lost partition) grows linearly in fold count. localCheckpoint caches
     // and cuts the lineage at this step's boundary; on a real cluster swap
     // for reliable checkpoint/table writes (the Checkpoints seam) since
-    // local checkpoints don't survive executor loss.
+    // local checkpoints don't survive executor loss. The table-backed band
+    // index needs neither: its lineage already starts at the bucketed scan.
     State(allSigs.localCheckpoint(false),
-      allBands.localCheckpoint(false),
+      if (checkpoints.isDefined) allBands else allBands.localCheckpoint(false),
       keyCounts.localCheckpoint(false),
       allEdges.localCheckpoint(false),
       labels.localCheckpoint(false))
+  }
+
+  /** New-side bands × stored index, equi-joined on the band key; hot keys
+    * pruned from both sides by a broadcast anti-join (partitioning-
+    * preserving, so a bucketed stored side keeps its scan partitioning all
+    * the way into the join — no Exchange, asserted by IncrementalDedupSpec).
+    */
+  private[graft] def candidateJoin(newBands: DataFrame, allBands: DataFrame,
+      hot: DataFrame): DataFrame = {
+    val a = newBands.join(broadcast(hot), Seq("key"), "left_anti").alias("a")
+    val b = allBands.join(broadcast(hot), Seq("key"), "left_anti").alias("b")
+    a.join(b, col("a.key") === col("b.key") && col("a.node") =!= col("b.node"))
+      .select(least(col("a.node"), col("b.node")).as("node_a"),
+        greatest(col("a.node"), col("b.node")).as("node_b"))
+      .dropDuplicates("node_a", "node_b")
   }
 }

@@ -89,4 +89,65 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(edgeNodes.intersect(oldNodes).isEmpty,
       "old nodes in new edges ⇒ the all side was recomputed from signatures")
   }
+
+  test("bucketed band index: fold ≡ in-memory fold, stored scan joins without Exchange") {
+    val cfg = GraftConfig.default
+    val wd = java.nio.file.Files.createTempDirectory("graft_inc_bucket").toString
+    val ck = new Checkpoints(spark, wd, "inc-test-hash")
+    val bucketed = new IncrementalDedup(spark, cfg, Some(ck), bandBuckets = 8)
+    val plain = new IncrementalDedup(spark, cfg)
+    val batchA = PagesGen.pages(spark, 120L).toDF()
+    val batchB = spark.range(120L, 240L).map(id => PagesGen.pageOf(42L, id)).toDF()
+
+    val sb = bucketed.step(bucketed.step(bucketed.emptyState, batchA), batchB)
+    val sp = plain.step(plain.step(plain.emptyState, batchA), batchB)
+    // identical state regardless of the band-index backend
+    assert(sb.labels.as[(Long, Long)].collect().toMap ==
+      sp.labels.as[(Long, Long)].collect().toMap)
+    assert(sb.bands.count() == sp.bands.count())
+    // two appends landed in ONE bucketed table
+    val stored = ck.bucketedTable("bands_index").get
+    assert(stored.count() == 240L * cfg.lsh.bands)
+
+    // Plan audit on the fold's join shape: the stored (bucketed) side must
+    // reach the band-key equi-join WITHOUT an Exchange — that is the whole
+    // point of the bucketed checkpoint (per-fold shuffle ∝ batch, not
+    // corpus). Broadcast + AQE are pinned off so the planner can't dodge
+    // the distribution requirement the assert is about.
+    val conf = spark.conf
+    val aqe = conf.get("spark.sql.adaptive.enabled")
+    val bc = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      conf.set("spark.sql.adaptive.enabled", "false")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val newBands = Seq((1L, 2L), (3L, 4L)).toDF("key", "node")
+      val hot = Seq.empty[Long].toDF("key")
+      val j = bucketed.candidateJoin(newBands, stored, hot)
+      val plan = j.queryExecution.executedPlan
+      import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+      import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+      import org.apache.spark.sql.execution.joins.{ShuffledHashJoinExec, SortMergeJoinExec}
+      def hasBucketScan(p: SparkPlan): Boolean =
+        p.collect { case f: FileSourceScanExec if f.bucketedScan => f }.nonEmpty
+      assert(hasBucketScan(plan),
+        "stored side should be a bucketed scan:\n" + plan.toString.take(3000))
+      // the equi-join's stored-side CHILD subtree (scan → filter → sort →
+      // join input) must be Exchange-free; exchanges above the join
+      // (dropDuplicates) legitimately exist and contain the scan as a leaf
+      val joinInputs = plan.collect {
+        case sj: SortMergeJoinExec => Seq(sj.left, sj.right)
+        case hj: ShuffledHashJoinExec => Seq(hj.left, hj.right)
+      }.flatten
+      val storedSides = joinInputs.filter(hasBucketScan)
+      assert(storedSides.nonEmpty,
+        "bucketed scan should feed the band-key equi-join:\n" + plan.toString.take(3000))
+      val shuffledStoredSide = storedSides.exists(side =>
+        side.collect { case e: ShuffleExchangeLike => e }.nonEmpty)
+      assert(!shuffledStoredSide,
+        "bucketed stored side must not sit under an Exchange:\n" + plan.toString.take(3000))
+    } finally {
+      conf.set("spark.sql.adaptive.enabled", aqe)
+      conf.set("spark.sql.autoBroadcastJoinThreshold", bc)
+    }
+  }
 }
