@@ -677,12 +677,16 @@ object SparkEntry {
       .select("doc_id", "dup_token_ratio", "top_bigram_frac")
 
   /** URL canonicalization over a synthesized messy-URL column (tracking
-    * params, uppercase host, default port, fragment). The canonical form is
-    * closed-form in doc_id/source, which is what the oracle checks.
+    * params, uppercase host, default port, fragment; odd doc_ids get a
+    * multi-label public suffix so the PSL-subset registered-domain path is
+    * driver-gated too). The canonical form is closed-form in doc_id/source,
+    * which is what the oracle checks.
     */
   private def q43(s: SparkSession, dir: String): DataFrame = {
+    val domain = when(col("doc_id") % 2 === 0,
+      lit(".Example.COM:443/Docs/")).otherwise(lit(".Example.co.uk:443/Docs/"))
     val withUrl = t(s, dir, "documents").select(col("doc_id"),
-      concat(lit("https://WWW."), col("source"), lit(".Example.COM:443/Docs/"),
+      concat(lit("https://WWW."), col("source"), domain,
         col("doc_id").cast("string"),
         lit("?utm_source=feed&b=2&ref=x&a=1#frag")).as("url"))
     withUrl.select(col("doc_id"),
@@ -1266,9 +1270,10 @@ object SparkEntry {
         | FROM base b LEFT JOIN top USING (doc_id)""".stripMargin,
     "q43_url_canonicalize" ->
       """SELECT doc_id,
-        | 'https://' || source || '.example.com/Docs/' || CAST(doc_id AS VARCHAR) || '?a=1&b=2' AS canonical_url,
-        | source || '.example.com' AS host,
-        | 'example.com' AS registered_domain,
+        | 'https://' || source || CASE WHEN doc_id % 2 = 0 THEN '.example.com' ELSE '.example.co.uk' END
+        |   || '/Docs/' || CAST(doc_id AS VARCHAR) || '?a=1&b=2' AS canonical_url,
+        | source || CASE WHEN doc_id % 2 = 0 THEN '.example.com' ELSE '.example.co.uk' END AS host,
+        | CASE WHEN doc_id % 2 = 0 THEN 'example.com' ELSE 'example.co.uk' END AS registered_domain,
         | 2 AS path_depth
         | FROM documents""".stripMargin,
     "q44_top_ngrams" ->

@@ -37,6 +37,18 @@ class UrlOpsSpec extends SparkSpec {
     assert(got == (("news.example.co", "example.co", 3)))
   }
 
+  test("registeredDomain: multi-label public suffixes take three labels") {
+    val got = Seq(
+      "https://www.bbc.co.uk/news",
+      "https://a.b.example.com.au/",
+      "https://foo.example.com/x",
+      "https://example.co/",        // bare "co" TLD: plain two-label rule
+      "https://shop.example.co.jp/" // co.jp: three-label rule
+    ).toDF("u").select(UrlOps.registeredDomain($"u")).as[String].collect().toSeq
+    assert(got == Seq(
+      "bbc.co.uk", "example.com.au", "example.com", "example.co", "example.co.jp"))
+  }
+
   test("pathDepth of root and empty paths is 0") {
     val got = Seq("https://example.com/", "https://example.com")
       .toDF("u").select(UrlOps.pathDepth($"u")).as[Int].collect().toSeq
