@@ -101,19 +101,59 @@ final class Checkpoints(spark: SparkSession, workDir: String, configHash: String
   def bucketedAppend(name: String, df: DataFrame, bucketCol: String,
       numBuckets: Int): DataFrame = {
     val table = bucketedTableName(name)
+    reRegister(name) // a fresh session resumes an on-disk table before appending
     val writer = df.write
       .bucketBy(numBuckets, bucketCol)
       .sortBy(bucketCol)
       .option("path", dataPath(name))
     if (spark.catalog.tableExists(table)) writer.mode("append").saveAsTable(table)
-    else writer.mode("overwrite").saveAsTable(table)
+    else {
+      writer.mode("overwrite").saveAsTable(table)
+      // registration sidecar: enough to re-CREATE the catalog entry over
+      // the same files in a later session (in-memory catalog loses it)
+      val f = fs(workDir)
+      val out = f.create(new Path(dataPath(name) + "__bucketmeta.json"), true)
+      try out.write(
+        s"""{"ddl":"${df.schema.toDDL.replace("\"", "\\\"")}","bucket_col":"$bucketCol","buckets":$numBuckets}"""
+          .getBytes("UTF-8"))
+      finally out.close()
+    }
     spark.table(table)
   }
 
-  /** The bucketed stage table if this session has registered it. */
+  /** The bucketed stage table: from this session's catalog, or re-registered
+    * from the on-disk registration sidecar (fresh-session resume).
+    */
   def bucketedTable(name: String): Option[DataFrame] = {
+    reRegister(name)
     val t = bucketedTableName(name)
     if (spark.catalog.tableExists(t)) Some(spark.table(t)) else None
+  }
+
+  private def reRegister(name: String): Unit = {
+    val t = bucketedTableName(name)
+    if (!spark.catalog.tableExists(t)) {
+      val metaP = new Path(dataPath(name) + "__bucketmeta.json")
+      val f = fs(workDir)
+      if (f.exists(metaP)) {
+        val in = f.open(metaP)
+        val raw = try {
+          val bytes = new Array[Byte](f.getFileStatus(metaP).getLen.toInt)
+          in.readFully(bytes); new String(bytes, "UTF-8")
+        } finally in.close()
+        def field(k: String): String =
+          s""""$k":"?([^",}]+)"?""".r.findFirstMatchIn(raw).map(_.group(1)).getOrElse(
+            throw new IllegalStateException(s"bad bucketmeta for $name: $raw"))
+        val ddl = """"ddl":"((?:[^"\\]|\\.)*)"""".r.findFirstMatchIn(raw)
+          .map(_.group(1).replace("\\\"", "\"")).get
+        spark.sql(
+          s"""CREATE TABLE $t ($ddl) USING PARQUET
+             |CLUSTERED BY (${field("bucket_col")})
+             |SORTED BY (${field("bucket_col")})
+             |INTO ${field("buckets")} BUCKETS
+             |LOCATION '${dataPath(name)}'""".stripMargin)
+      }
+    }
   }
 
   // catalog-safe + unique per (workDir, configHash) so parallel test

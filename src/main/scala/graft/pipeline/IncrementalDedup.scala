@@ -144,6 +144,39 @@ final class IncrementalDedup(spark: SparkSession, cfg: GraftConfig = GraftConfig
       labels.localCheckpoint(false))
   }
 
+  /** Persist a fold's state as stage tables so a LATER SESSION can resume
+    * the incremental maintenance where this one stopped (north rule:
+    * signatures / candidate edges / cluster labels checkpointed, runs
+    * resume mid-pipeline). The band index already lives in its bucketed
+    * table ([[Checkpoints.bucketedAppend]]) and is NOT rewritten here; the
+    * four remaining frames are small-to-narrow and overwrite atomically
+    * (parquet overwrite = write-then-swap per the committer).
+    */
+  def saveState(state: State, dir: String): Unit = {
+    state.signatures.write.mode("overwrite").parquet(s"$dir/inc_signatures")
+    state.keyCounts.write.mode("overwrite").parquet(s"$dir/inc_key_counts")
+    state.edges.write.mode("overwrite").parquet(s"$dir/inc_edges")
+    state.labels.write.mode("overwrite").parquet(s"$dir/inc_labels")
+    // in-memory mode has no bucketed table to resume from — persist the
+    // band index alongside (table-backed mode skips the duplicate copy)
+    if (checkpoints.isEmpty)
+      state.bands.write.mode("overwrite").parquet(s"$dir/inc_bands")
+  }
+
+  /** Resume from [[saveState]] output. The band index comes back from the
+    * bucketed table when this instance carries the same [[Checkpoints]]
+    * (re-registering it in a fresh session if the catalog is in-memory),
+    * else from the plain parquet copy saveState wrote.
+    */
+  def loadState(dir: String): State =
+    State(
+      spark.read.parquet(s"$dir/inc_signatures"),
+      checkpoints.flatMap(_.bucketedTable("bands_index"))
+        .getOrElse(spark.read.parquet(s"$dir/inc_bands")),
+      spark.read.parquet(s"$dir/inc_key_counts"),
+      spark.read.parquet(s"$dir/inc_edges"),
+      spark.read.parquet(s"$dir/inc_labels"))
+
   /** New-side bands × stored index, equi-joined on the band key; hot keys
     * pruned from both sides by a broadcast anti-join (partitioning-
     * preserving, so a bucketed stored side keeps its scan partitioning all

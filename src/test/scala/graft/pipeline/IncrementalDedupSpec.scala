@@ -90,6 +90,33 @@ class IncrementalDedupSpec extends SparkSpec {
       "old nodes in new edges ⇒ the all side was recomputed from signatures")
   }
 
+  test("state save/load: incremental fold resumes in a fresh session (north-rule resumability)") {
+    val cfg = GraftConfig.default
+    val wd = java.nio.file.Files.createTempDirectory("graft_inc_resume").toString
+    val ck = new Checkpoints(spark, wd, "resume-hash")
+    val inc = new IncrementalDedup(spark, cfg, Some(ck), bandBuckets = 8)
+    val batchA = PagesGen.pages(spark, 100L).toDF()
+    val batchB = spark.range(100L, 200L).map(id => PagesGen.pageOf(42L, id)).toDF()
+    inc.saveState(inc.step(inc.emptyState, batchA), wd)
+
+    // simulate a fresh session: the in-memory catalog forgets the bucketed
+    // table registration (files stay — it is external); loadState must
+    // re-register from the on-disk sidecar and keep folding
+    spark.catalog.listTables().collect()
+      .filter(_.name.startsWith("graft_bands_index"))
+      .foreach(t => spark.sql(s"DROP TABLE ${t.name}"))
+
+    val inc2 = new IncrementalDedup(spark, cfg, Some(ck), bandBuckets = 8)
+    val s2 = inc2.step(inc2.loadState(wd), batchB)
+
+    val plain = new IncrementalDedup(spark, cfg)
+    val p2 = plain.step(plain.step(plain.emptyState, batchA), batchB)
+    assert(s2.labels.as[(Long, Long)].collect().toMap ==
+      p2.labels.as[(Long, Long)].collect().toMap,
+      "resumed fold must equal the uninterrupted fold")
+    assert(s2.bands.count() == p2.bands.count())
+  }
+
   test("bucketed band index: fold ≡ in-memory fold, stored scan joins without Exchange") {
     val cfg = GraftConfig.default
     val wd = java.nio.file.Files.createTempDirectory("graft_inc_bucket").toString
