@@ -65,14 +65,18 @@ final class DedupPipeline(
     *
     * The 128-long minhash itself is NOT persisted: its only pipeline
     * consumers are the 16 LSH band keys (computed here, 128 B vs 1 KB per
-    * doc) and the optional `est_jaccard` diagnostic (skipped in the hot
-    * path; decisions read exact Jaccard from shingles). The full signature
+    * doc). The shingle array IS persisted: it is a free byproduct of the
+    * fused sketch (DocSignature computes it on the way to the minhash), and
+    * measured at 1M docs re-deriving it at verify time costs more CPU than
+    * the cache write saves in bandwidth — instead the verify JOIN prunes
+    * its shuffle to candidate-pair nodes only ([[decisions]]), which is
+    * where the corpus-wide shingle bytes actually moved. The full signature
     * remains available from [[MinHashLsh.signatures]] for the
     * carried-signature verification path at 10^12-doc scale.
     */
   def signatures(extractedDf: DataFrame): DataFrame = stage("signatures") {
     MinHashLsh.signatures(extractedDf, cfg)
-      .select(col("url"), col("node"), col("n_tokens"), col("shingles"),
+      .select(col("url"), col("node"), col("shingles"),
         graft.functions.Hashing.bandKeys(col("minhash"), cfg.lsh.bands, cfg.lsh.rowsPerBand)
           .as("band_keys"),
         col("simhash"))
@@ -119,7 +123,22 @@ final class DedupPipeline(
     */
   def decisions(cands: DataFrame, sigs: DataFrame, extractedDf: DataFrame): DataFrame = {
     val tier1 = stage("tier1_decisions") {
-      Decisions.decide(MinHashLsh.verify(cands, sigs, cfg), cfg)
+      // Semi-join reduction on the verify join: the two node-equi-joins
+      // would otherwise shuffle EVERY doc's shingle array (the widest
+      // per-doc payload) even though only candidate-pair nodes can match.
+      // Pruning the signature side by a broadcast semi-join on the
+      // candidate node set (node ids only — a few MB even at 10^8 docs;
+      // beyond the broadcast budget swap the hint for a shuffled or bloom
+      // semi-join) cuts the verify shuffle to the candidate subset at zero
+      // added compute — the explicit form of the runtime semi-join
+      // reduction Spark doesn't inject here.
+      // no .distinct(): the broadcast HashedRelation dedups keys while it
+      // builds, so a pre-dedup would only add a full shuffle + stage barrier
+      val candNodes = cands.select(col("node_a").as("node"))
+        .unionByName(cands.select(col("node_b").as("node")))
+      val shingleSide = sigs.select(col("node"), col("url"), col("shingles"))
+        .join(broadcast(candNodes), Seq("node"), "left_semi")
+      Decisions.decide(MinHashLsh.verify(cands, shingleSide, cfg), cfg)
     }
     stage("decisions") {
       val byNode = extractedDf.select(xxhash64(col("url")).as("node"), col("extracted_text"))

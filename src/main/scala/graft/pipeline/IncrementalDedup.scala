@@ -34,9 +34,13 @@ import graft.operators._
   * the new batch's bands (one file per bucket) and the join reads the
   * stored side pre-partitioned by key, so the only per-fold shuffle is the
   * batch-sized new side (IncrementalDedupSpec asserts the stored scan has
-  * no Exchange above it). Without checkpoints (in-memory state, tests) the
-  * index is a unioned DataFrame and shuffles per fold — fine at test
-  * scale, the table-backed form is the 10^12-doc path.
+  * no Exchange above it). The signature store follows the same pattern — a
+  * node-bucketed table appended per fold, narrow (node, url, text) schema,
+  * shingles recomputed per fold for candidate-touched nodes only — so NO
+  * corpus-sized frame is re-materialized per fold in table-backed mode.
+  * Without checkpoints (in-memory state, tests) both are unioned DataFrames
+  * re-localCheckpointed per fold — fine at test scale, the table-backed
+  * form is the 10^12-doc path.
   *
   * Determinism: labels are component minima, so an incremental fold of
   * A then B yields byte-identical labels to a full run over A ∪ B —
@@ -48,6 +52,13 @@ final class IncrementalDedup(spark: SparkSession, cfg: GraftConfig = GraftConfig
   /** (signatures, band index, per-key counts, matchEdges, labels) — the
     * persisted dedup state. `bands` is the (key, node) candidate index;
     * `keyCounts` its per-key cardinalities (for the hot-bucket cap).
+    *
+    * `signatures` carries only (node, url, extracted_text): shingle sets are
+    * recomputed per fold for exactly the candidate-touched nodes (the text
+    * is authoritative and the hash pass is codegen'd CPU), so the state
+    * never stores the corpus-wide shingle/minhash arrays — at 10^12 docs
+    * those would double-to-triple every fold's carried bytes for data the
+    * fold reads only for a batch-sized node subset.
     */
   final case class State(
       signatures: DataFrame,
@@ -62,19 +73,38 @@ final class IncrementalDedup(spark: SparkSession, cfg: GraftConfig = GraftConfig
       new java.util.ArrayList[org.apache.spark.sql.Row](),
       org.apache.spark.sql.types.StructType.fromDDL(
         "url STRING, warc_ts TIMESTAMP, html BINARY, text STRING, lang STRING"))
-    State(signaturesOf(emptyPages),
+    State(signaturesOf(emptyPages).select("node", "url", "extracted_text"),
       Seq.empty[(Long, Long)].toDF("key", "node"),
       Seq.empty[(Long, Long)].toDF("key", "n"),
       Seq.empty[(Long, Long)].toDF("src", "dst"),
       Seq.empty[(Long, Long)].toDF("node", "component"))
   }
 
+  /** Full per-batch signature frame — transient, feeds [[bandsOf]] and the
+    * narrow state projection; never stored.
+    */
   private def signaturesOf(pages: DataFrame): DataFrame =
     MinHashLsh.signatures(
       pages.select(col("url"), TextFunctions.extractText(col("html")).as("extracted_text")),
       cfg)
-      .select(col("node"), col("url"), col("extracted_text"), col("shingles"),
-        col("minhash"), col("simhash"))
+      .select(col("node"), col("url"), col("extracted_text"), col("minhash"))
+
+  /** Shingle sets for exactly the nodes appearing in `cands`, recomputed
+    * from the stored text (ShingleHashes ≡ DocSignature.shingles,
+    * HashingSpec). The node set is broadcast (ids only); beyond the
+    * broadcast budget swap the hint for a shuffled/bloom semi-join.
+    */
+  private def shingleSideOf(sigs: DataFrame, cands: DataFrame): DataFrame = {
+    // no .distinct(): the broadcast HashedRelation dedups keys as it builds
+    val candNodes = cands.select(col("node_a").as("node"))
+      .unionByName(cands.select(col("node_b").as("node")))
+    sigs.select(col("node"), col("url"), col("extracted_text"))
+      .join(broadcast(candNodes), Seq("node"), "left_semi")
+      .select(col("node"), col("url"),
+        Hashing.shingleHashes(
+          split(col("extracted_text"), " "), cfg.lsh.shingleSize, cfg.lsh.seed
+        ).as("shingles"))
+  }
 
   private def bandsOf(sigs: DataFrame): DataFrame =
     sigs.where(col("minhash").isNotNull)
@@ -85,7 +115,15 @@ final class IncrementalDedup(spark: SparkSession, cfg: GraftConfig = GraftConfig
   def step(state: State, newPages: DataFrame): State = {
     val newSigs = signaturesOf(newPages)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val allSigs = state.signatures.unionByName(newSigs)
+    val newStateSigs = newSigs.select("node", "url", "extracted_text")
+    // table-backed state: signatures append to a node-bucketed table like
+    // the band index — the stored corpus is never re-materialized per fold
+    // (the in-memory union + localCheckpoint below IS ∝ corpus; it exists
+    // for tests and small corpora only)
+    val allSigs = checkpoints match {
+      case Some(ck) => ck.bucketedAppend("sigs_index", newStateSigs, "node", bandBuckets)
+      case None => state.signatures.unionByName(newStateSigs)
+    }
 
     // band index: compute the NEW batch's bands once, append to the stored
     // index; per-key counts merge incrementally (old + new), no recount
@@ -107,7 +145,7 @@ final class IncrementalDedup(spark: SparkSession, cfg: GraftConfig = GraftConfig
     // index (+ the batch itself) — the only band-key work ∝ batch size
     val cands = candidateJoin(newBands, allBands, hot)
 
-    val newEdges = MinHashLsh.verify(cands, allSigs, cfg)
+    val newEdges = MinHashLsh.verify(cands, shingleSideOf(allSigs, cands), cfg)
       .where(col("exact_jaccard") >= cfg.lsh.jaccardThreshold)
       .select(col("node_a").as("src"), col("node_b").as("dst"))
     val allEdges = state.edges.unionByName(newEdges).dropDuplicates("src", "dst")
@@ -137,7 +175,8 @@ final class IncrementalDedup(spark: SparkSession, cfg: GraftConfig = GraftConfig
     // for reliable checkpoint/table writes (the Checkpoints seam) since
     // local checkpoints don't survive executor loss. The table-backed band
     // index needs neither: its lineage already starts at the bucketed scan.
-    State(allSigs.localCheckpoint(false),
+    State(
+      if (checkpoints.isDefined) allSigs else allSigs.localCheckpoint(false),
       if (checkpoints.isDefined) allBands else allBands.localCheckpoint(false),
       keyCounts.localCheckpoint(false),
       allEdges.localCheckpoint(false),
@@ -153,14 +192,17 @@ final class IncrementalDedup(spark: SparkSession, cfg: GraftConfig = GraftConfig
     * (parquet overwrite = write-then-swap per the committer).
     */
   def saveState(state: State, dir: String): Unit = {
-    state.signatures.write.mode("overwrite").parquet(s"$dir/inc_signatures")
     state.keyCounts.write.mode("overwrite").parquet(s"$dir/inc_key_counts")
     state.edges.write.mode("overwrite").parquet(s"$dir/inc_edges")
     state.labels.write.mode("overwrite").parquet(s"$dir/inc_labels")
-    // in-memory mode has no bucketed table to resume from — persist the
-    // band index alongside (table-backed mode skips the duplicate copy)
-    if (checkpoints.isEmpty)
+    // in-memory mode has no bucketed tables to resume from — persist the
+    // corpus-sized frames alongside (table-backed mode already appends both
+    // to bucketed tables per fold; rewriting them here would re-move the
+    // whole corpus per save)
+    if (checkpoints.isEmpty) {
+      state.signatures.write.mode("overwrite").parquet(s"$dir/inc_signatures")
       state.bands.write.mode("overwrite").parquet(s"$dir/inc_bands")
+    }
   }
 
   /** Resume from [[saveState]] output. The band index comes back from the
@@ -170,7 +212,8 @@ final class IncrementalDedup(spark: SparkSession, cfg: GraftConfig = GraftConfig
     */
   def loadState(dir: String): State =
     State(
-      spark.read.parquet(s"$dir/inc_signatures"),
+      checkpoints.flatMap(_.bucketedTable("sigs_index"))
+        .getOrElse(spark.read.parquet(s"$dir/inc_signatures")),
       checkpoints.flatMap(_.bucketedTable("bands_index"))
         .getOrElse(spark.read.parquet(s"$dir/inc_bands")),
       spark.read.parquet(s"$dir/inc_key_counts"),

@@ -103,7 +103,8 @@ class IncrementalDedupSpec extends SparkSpec {
     // table registration (files stay — it is external); loadState must
     // re-register from the on-disk sidecar and keep folding
     spark.catalog.listTables().collect()
-      .filter(_.name.startsWith("graft_bands_index"))
+      .filter(t => t.name.startsWith("graft_bands_index") ||
+        t.name.startsWith("graft_sigs_index"))
       .foreach(t => spark.sql(s"DROP TABLE ${t.name}"))
 
     val inc2 = new IncrementalDedup(spark, cfg, Some(ck), bandBuckets = 8)
