@@ -2,10 +2,10 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
 import graft.config.GraftConfig
-import graft.operators.MinHashLsh
-import graft.functions.TextFunctions
+import graft.operators.{MinHashLsh, UrlOps}
+import graft.functions.{Hashing, TextFunctions}
 
 /** Streaming ingestion (SURVEY.md §2.1 S13): the reference's file watcher
   * (`/root/reference/src/event_dedup/worker/watcher.py:25-64`) re-expressed
@@ -76,6 +76,124 @@ object PagesStream {
       .withWatermark("warc_ts", watermarkDelay)
       .dropDuplicatesWithinWatermark("fp")
     val writer = deduped.writeStream
+      .format("parquet")
+      .option("path", outputDir)
+      .option("checkpointLocation", checkpointDir)
+    (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer).start()
+  }
+
+  /** Windowed per-host crawl statistics — the streaming analog of the q10
+    * daily-series dashboard: tumbling event-time windows × registered host,
+    * page count + mean extracted length per cell. Append mode emits a
+    * window only once the WATERMARK closes it (exactly-once per cell, no
+    * re-emission) — rows later than `watermarkDelay` are dropped, the
+    * standard bounded-state trade. State size tracks open windows × hosts,
+    * not the corpus.
+    */
+  def hostWindowStream(
+      spark: SparkSession,
+      inputDir: String,
+      outputDir: String,
+      checkpointDir: String,
+      windowDuration: String = "1 hour",
+      watermarkDelay: String = "30 minutes",
+      availableNow: Boolean = true
+  ): StreamingQuery = {
+    val pages = spark.readStream
+      .schema("url STRING, warc_ts TIMESTAMP, html BINARY, text STRING, lang STRING")
+      .parquet(inputDir)
+    val agg = pages
+      .select(col("url"), col("warc_ts"),
+        TextFunctions.extractText(col("html")).as("extracted_text"))
+      .withColumn("host", UrlOps.host(col("url")))
+      .withWatermark("warc_ts", watermarkDelay)
+      .groupBy(window(col("warc_ts"), windowDuration), col("host"))
+      .agg(count(lit(1)).as("pages"),
+        avg(length(col("extracted_text"))).as("mean_text_len"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("host"), col("pages"), col("mean_text_len"))
+    val writer = agg.writeStream
+      .outputMode(OutputMode.Append)
+      .format("parquet")
+      .option("path", outputDir)
+      .option("checkpointLocation", checkpointDir)
+    (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer).start()
+  }
+
+  /** One exploded (band key, node, event time) row — the unit of streaming
+    * LSH state.
+    */
+  final case class BandRow(key: Long, node: Long, ts: java.sql.Timestamp)
+
+  /** Streaming LSH candidate pairs with CUSTOM keyed state
+    * (`flatMapGroupsWithState`): band-key groups carry the set of nodes
+    * seen in the bucket; each arriving doc pairs against the carried set
+    * and joins it — the incremental analog of the batch band self-join
+    * ([[MinHashLsh.lshCandidates]]), emitting each within-bucket pair
+    * exactly once per key without ever re-joining the corpus.
+    *
+    * Scale posture mirrors the batch tier: per-key state is capped at
+    * `cfg.lsh.maxBucketSize` nodes (a hot boilerplate bucket degrades to
+    * dropping candidates, observable, never quadratic), and state expires
+    * via EVENT-TIME timeout one `stateTtl` past the watermark — state
+    * size tracks the TTL window, not the corpus. Pairs may repeat across
+    * band keys (as in the batch tier pre-dedup); downstream consumers
+    * dedup on (node_a, node_b).
+    */
+  def candidatePairStream(
+      spark: SparkSession,
+      inputDir: String,
+      outputDir: String,
+      checkpointDir: String,
+      cfg: GraftConfig = GraftConfig.default,
+      stateTtl: String = "1 hour",
+      availableNow: Boolean = true
+  ): StreamingQuery = {
+    import spark.implicits._
+    val ttlMs = org.apache.spark.sql.catalyst.util.IntervalUtils
+      .stringToInterval(org.apache.spark.unsafe.types.UTF8String.fromString(stateTtl))
+    val ttlMillis = ttlMs.days * 86400000L + ttlMs.microseconds / 1000L
+    val maxBucket = cfg.lsh.maxBucketSize
+    val pages = spark.readStream
+      .schema("url STRING, warc_ts TIMESTAMP, html BINARY, text STRING, lang STRING")
+      .parquet(inputDir)
+    val extracted = pages.select(
+      col("url"), col("warc_ts"),
+      TextFunctions.extractText(col("html")).as("extracted_text"))
+    val banded = MinHashLsh.signatures(extracted, cfg)
+      .where(col("minhash").isNotNull)
+      .select(
+        explode(Hashing.bandKeys(col("minhash"), cfg.lsh.bands, cfg.lsh.rowsPerBand)).as("key"),
+        col("node"), col("warc_ts").as("ts"))
+      .withWatermark("ts", stateTtl)
+      .as[BandRow]
+    val pairs = banded
+      .groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (_: Long, rows: Iterator[BandRow], state: GroupState[Seq[Long]]) => {
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            // sort within the micro-batch for deterministic emission order;
+            // the PAIR SET is order-independent below the bucket cap
+            var seen = state.getOption.getOrElse(Seq.empty[Long])
+            val out = Seq.newBuilder[(Long, Long)]
+            for (r <- rows.toSeq.sortBy(_.node)
+                if !seen.contains(r.node) && seen.size < maxBucket) {
+              out ++= seen.map(o =>
+                (math.min(o, r.node), math.max(o, r.node)))
+              seen = seen :+ r.node
+            }
+            state.update(seen)
+            // expire this bucket's state one TTL past the current watermark
+            if (state.getCurrentWatermarkMs() > 0)
+              state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + ttlMillis)
+            out.result().iterator
+          }
+        })
+      .toDF("node_a", "node_b")
+    val writer = pairs.writeStream
+      .outputMode(OutputMode.Append)
       .format("parquet")
       .option("path", outputDir)
       .option("checkpointLocation", checkpointDir)
