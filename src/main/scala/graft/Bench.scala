@@ -348,18 +348,25 @@ object Bench {
     // Internal wall-clock budget: stop adding scaling rounds (never mid-run)
     // once exceeded, so the driver's own timeout can't catch us with an
     // unparseable partial line.
-    // 3600 s default: the primary scaling block needs ≥2 CLEAN completed
+    // 5000 s default: the primary scaling block needs ≥2 CLEAN completed
     // rounds for the median to mean anything (round-3 verdict #3). A paired
     // 2→8×1c round at the 2M scaling corpus (fresh hi+lo clusters, floor
-    // probes, min-of-3 hi reps / 1 lo rep) measures ~1,000-1,150 s; with
-    // the ~550 s pre-block (queries, headline, corpus gen, host probes)
-    // the budget fits 2 clean rounds plus the ~700 s saturated-spec
-    // diagnostic, with the sat reserve yielding to clean-round priority.
+    // probes, min-of-3 hi reps / 1 lo rep) measures ~1,000-1,200 s; with
+    // the ~1,200-1,500 s pre-block (queries, headline, corpus gen, host
+    // probes) a 3600 s budget fit only TWO rounds — and this host's steal
+    // windows dirty ~half of them (measured: round 1 lo-floor 49 s vs
+    // round 2's 10 s), leaving a single clean round behind the median.
+    // 5000 s fits 3 rounds plus the ~700 s saturated-spec diagnostic
+    // (sat reserve yields to clean-round priority). Overshooting the
+    // driver's own timeout is SAFE by construction: every completed round
+    // re-emits the full+compact JSON pair, so a kill at any point leaves
+    // the driver the then-current last line (round 3's driver run survived
+    // ~5,000 s, and rounds 1-3 proved kills preserve the transport).
     // Progressive emit + the sidecar file mean a driver kill mid-round
     // still leaves every completed round parseable, so overshooting a
     // driver timeout loses nothing.
     val budgetSecs = sys.env.get("SPARK_GRAFT_BENCH_BUDGET_SECS")
-      .map(_.toDouble).getOrElse(3600.0)
+      .map(_.toDouble).getOrElse(5000.0)
 
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
