@@ -1,0 +1,80 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** Real-codec multimodal decode: PNG via ImageIO and WAV via javax.sound are
+  * lossless for the synthetic payloads, so every decoded attribute has a
+  * closed form in media_id (the same contract q57's DuckDB oracle checks).
+  */
+class MultimodalSpec extends SparkSpec {
+
+  test("image decode recovers exact dimensions and gray level from real PNG bytes") {
+    val png = Multimodal.encodeGrayPng(20, 13, 137)
+    val Some((w, h, gray, feat)) = Multimodal.decodeImage(png)
+    assert(w == 20 && h == 13 && gray == 137)
+    assert(feat.length == 16)
+    // solid image: every mean-pooled cell is exactly gray/255
+    feat.foreach(f => assert(math.abs(f - 137f / 255f) < 1e-6f))
+  }
+
+  test("audio decode recovers exact duration and RMS from real WAV bytes") {
+    val wav = Multimodal.encodeSquareWav(880, 1500)
+    val Some((durMs, rms, feat)) = Multimodal.decodeWav(wav)
+    assert(durMs == 110L) // 880 samples @ 8 kHz
+    assert(rms == 1500)   // square wave: RMS == amplitude exactly
+    assert(feat.length == 16)
+    feat.foreach(f => assert(math.abs(f - 1500f / 32768f) < 1e-6f))
+  }
+
+  test("decode kernels reject undecodable payloads instead of throwing") {
+    assert(Multimodal.decodeImage(Array[Byte](1, 2, 3)).isEmpty)
+    assert(Multimodal.decodeImage(Array.empty[Byte]).isEmpty)
+    assert(Multimodal.decodeImage(null).isEmpty)
+    assert(Multimodal.decodeWav(Array[Byte](1, 2, 3)).isEmpty)
+    assert(Multimodal.decodeWav(null).isEmpty)
+  }
+
+  test("decodeMedia matches the closed-form attribute formulas per kind") {
+    val media = Multimodal.syntheticMedia(spark, 60)
+    val got = Multimodal.decodeMedia(media).collect().sortBy(_.media_id)
+    assert(got.length == 60)
+    got.foreach { r =>
+      (r.media_id % 3) match {
+        case 0 =>
+          assert(r.kind == "image")
+          assert(r.width == 16 + (r.media_id % 17).toInt)
+          assert(r.height == 16 + (r.media_id % 13).toInt)
+          assert(r.gray == ((r.media_id * 37) % 256).toInt)
+          assert(r.amp == 0 && r.duration_ms == 0L)
+        case 1 =>
+          assert(r.kind == "audio")
+          assert(r.amp == 1000 + (r.media_id % 50).toInt * 100)
+          assert(r.duration_ms == 100L + (r.media_id % 5) * 10L)
+          assert(r.width == 0 && r.height == 0 && r.gray == 0)
+        case _ =>
+          assert(r.kind == "video")
+          assert(r.width == 0 && r.height == 0 && r.gray == 0 && r.amp == 0 && r.duration_ms == 0L)
+      }
+    }
+  }
+
+  test("extractFeatures: real image/audio features, deterministic across runs") {
+    val media = Multimodal.syntheticMedia(spark, 51)
+    val feats = Multimodal.extractFeatures(media, dim = 16).collect().sortBy(_.media_id)
+    assert(feats.length == 51)
+    assert(feats.forall(_.feature.length == 16))
+    feats.foreach { f =>
+      (f.media_id % 3) match {
+        case 0 => // solid image: all 16 grid cells == gray/255
+          val g = ((f.media_id * 37) % 256).toFloat / 255f
+          f.feature.foreach(v => assert(math.abs(v - g) < 1e-6f))
+        case 1 => // square wave: every RMS window == amp/32768
+          val a = (1000 + (f.media_id % 50) * 100).toFloat / 32768f
+          f.feature.foreach(v => assert(math.abs(v - a) < 1e-6f))
+        case _ => () // video stub: determinism checked below
+      }
+    }
+    val again = Multimodal.extractFeatures(media, dim = 16).collect().sortBy(_.media_id)
+    assert(feats.zip(again).forall { case (a, b) => a.feature.toSeq == b.feature.toSeq })
+  }
+}

@@ -107,7 +107,7 @@ class SimilaritySpec extends SparkSpec {
     (0L until 5L).foreach { id => assert(found.contains((id, id + 1000L)), s"missing dup $id") }
   }
 
-  test("multimodal feature extraction: deterministic stub, real batch plumbing") {
+  test("multimodal feature extraction: real codecs, deterministic batch plumbing") {
     val media = Multimodal.syntheticMedia(spark, 50)
     val feats = Multimodal.extractFeatures(media, dim = 8).collect()
     assert(feats.length == 50)
