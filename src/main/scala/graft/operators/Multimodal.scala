@@ -13,15 +13,17 @@ import org.apache.spark.sql.types._
   * with typed metadata, processed in partition-sized batches
   * (reference pipeline treats media as blob + metadata side-table).
   *
-  * Decode kernels are REAL for image and audio using only JDK-public codecs:
+  * All three decode kernels are REAL, built only on JDK-public codecs:
   *   - image: `javax.imageio.ImageIO` (PNG/JPEG/BMP/GIF readers ship with
   *     every JDK) → width/height + mean-pooled grayscale grid features.
   *   - audio: `javax.sound.sampled.AudioSystem` (WAV/PCM) → duration + RMS
   *     window features.
-  * Video remains the one STUBBED kind ([[decodeStub]]): the JDK has no video
-  * codec and this container has no external media libraries, so the video
-  * path keeps a clearly-marked deterministic stand-in while the batching,
-  * schema, partitioning and output contract stay production-real.
+  *   - video: the JDK GIF codec reads AND writes multi-frame sequences, so
+  *     video is a real temporal container parse — frame count, dimensions,
+  *     per-frame mean-luminance (frame-sampled) features. A production
+  *     deployment swaps the GIF reader for an MP4/WebM demuxer behind the
+  *     same `decodeGif`-shaped seam; the batching, schema, partitioning and
+  *     output contract are identical.
   */
 object Multimodal {
 
@@ -49,19 +51,11 @@ object Multimodal {
   /** Decoded per-row media attributes — integer-exact so the whole decode
     * path is DuckDB-oracle-checkable (q57): unused attributes are 0, never
     * NULL, keeping every column a plain int64 through parquet→pandas.
+    * `gray` is the mean level of the image (or of the video's first frame);
+    * `frames` is 1 for a still image, the frame count for video.
     */
   final case class MediaDecode(media_id: Long, kind: String, width: Int, height: Int,
-                               gray: Int, amp: Int, duration_ms: Long)
-
-  /** === STUB (video only) === deterministic fake decoder keyed on the
-    * payload hash. Image and audio use the real JDK codecs below; video has
-    * no JDK codec, so its feature path keeps this stand-in.
-    */
-  def decodeStub(payload: Array[Byte], dim: Int): Array[Float] = {
-    val h = java.util.Arrays.hashCode(payload)
-    val rnd = new java.util.SplittableRandom(h.toLong)
-    Array.fill(dim)(rnd.nextDouble().toFloat)
-  }
+                               gray: Int, amp: Int, duration_ms: Long, frames: Int)
 
   /** Real image decode via ImageIO: (width, height, rounded mean gray level,
     * grid x grid mean-pooled grayscale feature in [0,1]). None if the payload
@@ -138,6 +132,45 @@ object Multimodal {
     } catch { case _: Exception => None }
   }
 
+  /** Real video decode via the JDK's multi-frame GIF codec: (width, height,
+    * frame count, per-frame mean luminance in [0,1] over the first
+    * `maxFrames` frames). GIF is the one temporal container the JDK can both
+    * read and write, so this path exercises a genuine container parse +
+    * frame-sampled feature extraction; a production deployment swaps in an
+    * MP4/WebM demuxer behind the same signature. None if not decodable.
+    */
+  def decodeGif(payload: Array[Byte], maxFrames: Int = 64): Option[(Int, Int, Int, Array[Float])] = {
+    if (payload == null || payload.isEmpty) return None
+    try {
+      val readers = ImageIO.getImageReadersByFormatName("gif")
+      if (!readers.hasNext) return None
+      val reader = readers.next()
+      try {
+        reader.setInput(
+          ImageIO.createImageInputStream(new ByteArrayInputStream(payload)), false, true)
+        val n = reader.getNumImages(true)
+        if (n <= 0) return None
+        val grays = Array.tabulate(math.min(n, maxFrames)) { f =>
+          val img = reader.read(f)
+          val (w, h) = (img.getWidth, img.getHeight)
+          var total = 0L
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y) // palette-safe: go through the color model
+              total += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+              x += 1
+            }
+            y += 1
+          }
+          (total.toDouble / (3.0 * w * h) / 255.0).toFloat
+        }
+        Some((reader.getWidth(0), reader.getHeight(0), n, grays))
+      } finally reader.dispose()
+    } catch { case _: Exception => None }
+  }
+
   private def fitDim(src: Array[Float], dim: Int): Array[Float] =
     if (src.length == dim) src
     else if (src.length > dim) src.take(dim)
@@ -145,8 +178,8 @@ object Multimodal {
 
   /** Feature extraction over media batches: `mapPartitions` on a typed
     * Dataset — one decoder init per partition (the expensive part for real
-    * decoders), rows streamed through it. Image and audio features come from
-    * the REAL decode kernels; video falls through to the documented stub.
+    * decoders), rows streamed through it. All three kinds run their REAL
+    * decode kernels; undecodable payloads map to a zero vector.
     */
   def extractFeatures(media: DataFrame, dim: Int = 16): Dataset[MediaFeature] = {
     val spark = media.sparkSession
@@ -163,7 +196,8 @@ object Multimodal {
               .getOrElse(Array.fill(dim)(0f))
             case "audio" => decodeWav(bytes, dim).map(r => fitDim(r._3, dim))
               .getOrElse(Array.fill(dim)(0f))
-            case _ => decodeStub(bytes, dim) // video: no JDK codec (stub)
+            case _ => decodeGif(bytes, dim).map(r => fitDim(r._4, dim))
+              .getOrElse(Array.fill(dim)(0f)) // video: per-frame samples
           }
           MediaFeature(id, kind, bytes.length, feature)
         }
@@ -185,12 +219,14 @@ object Multimodal {
           kind match {
             case "image" =>
               val (w, h, g, _) = decodeImage(payload).getOrElse((0, 0, 0, Array.empty[Float]))
-              MediaDecode(id, kind, w, h, g, 0, 0L)
+              MediaDecode(id, kind, w, h, g, 0, 0L, if (w > 0) 1 else 0)
             case "audio" =>
               val (d, a, _) = decodeWav(payload).getOrElse((0L, 0, Array.empty[Float]))
-              MediaDecode(id, kind, 0, 0, 0, a, d)
+              MediaDecode(id, kind, 0, 0, 0, a, d, 0)
             case _ =>
-              MediaDecode(id, kind, 0, 0, 0, 0, 0L)
+              val (w, h, n, grays) = decodeGif(payload).getOrElse((0, 0, 0, Array.empty[Float]))
+              val g0 = if (grays.nonEmpty) math.round(grays(0) * 255f) else 0
+              MediaDecode(id, kind, w, h, g0, 0, 0L, n)
           }
         }
       }
@@ -211,6 +247,42 @@ object Multimodal {
     }
     val out = new ByteArrayOutputStream()
     ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  // 256-level grayscale palette: GIF is indexed-color, so an explicit gray
+  // IndexColorModel makes the encode→decode round trip lossless for gray
+  // frames (index i IS gray level i).
+  private def grayPalette: java.awt.image.IndexColorModel = {
+    val g = Array.tabulate(256)(_.toByte)
+    new java.awt.image.IndexColorModel(8, 256, g, g, g)
+  }
+
+  /** Encode a multi-frame solid-gray GIF — one frame per entry of
+    * `frameGrays` (lossless for gray levels via the explicit gray palette,
+    * so q57's video oracle is closed-form like the PNG/WAV ones).
+    */
+  def encodeGrayGif(width: Int, height: Int, frameGrays: Seq[Int]): Array[Byte] = {
+    val writer = ImageIO.getImageWritersByFormatName("gif").next()
+    val out = new ByteArrayOutputStream()
+    val ios = ImageIO.createImageOutputStream(out)
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      frameGrays.foreach { gray =>
+        val img = new java.awt.image.BufferedImage(width, height,
+          java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, grayPalette)
+        val raster = img.getRaster
+        var y = 0
+        while (y < height) {
+          var x = 0
+          while (x < width) { raster.setSample(x, y, 0, gray); x += 1 }
+          y += 1
+        }
+        writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+      }
+      writer.endWriteSequence()
+    } finally { writer.dispose(); ios.close() }
     out.toByteArray
   }
 
@@ -236,12 +308,12 @@ object Multimodal {
   }
 
   /** Deterministic synthetic media table for tests/benchmarks: REAL payload
-    * bytes — PNG images and WAV audio the decode kernels round-trip exactly —
-    * plus opaque pseudo-random bytes for the video (stub) kind. Attribute
-    * formulas are closed-form in `media_id` so a SQL oracle can recompute
-    * them (q57):
+    * bytes in all three kinds — PNG images, WAV audio, multi-frame GIF video
+    * — that the decode kernels round-trip exactly. Attribute formulas are
+    * closed-form in `media_id` so a SQL oracle can recompute them (q57):
     *   image: width 16+id%17, height 16+id%13, solid gray (id*37)%256
     *   audio: amp 1000+(id%50)*100, 800+(id%5)*80 samples @8kHz = 100+(id%5)*10 ms
+    *   video: 2+id%4 frames of 8+id%9 × 8+id%6, frame f gray (id*31+f*17)%256
     */
   def syntheticMedia(spark: SparkSession, n: Long, seed: Long = 42L): DataFrame = {
     import spark.implicits._
@@ -258,11 +330,11 @@ object Multimodal {
           (id, kind, encodeSquareWav(samples, 1000 + (id % 50).toInt * 100),
             (None: Option[Int], None: Option[Int], Some(durMs), Some("audio/wav")))
         case _ =>
-          val rnd = new java.util.SplittableRandom(seed ^ id)
-          val payload = new Array[Byte](64 + rnd.nextInt(192))
-          rnd.nextBytes(payload)
-          (id, kind, payload,
-            (None: Option[Int], None: Option[Int], Some(rnd.nextLong(1000, 600000)), Some("video/bin")))
+          val frames = 2 + (id % 4).toInt
+          val (w, h) = (8 + (id % 9).toInt, 8 + (id % 6).toInt)
+          val grays = (0 until frames).map(f => ((id * 31 + f * 17) % 256).toInt)
+          (id, kind, encodeGrayGif(w, h, grays),
+            (Some(w), Some(h), Some(frames * 40L), Some("video/gif")))
       }
     }.toDF("media_id", "kind", "payload", "m")
     rows.select(col("media_id"), col("kind"), col("payload"),

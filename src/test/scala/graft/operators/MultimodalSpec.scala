@@ -2,9 +2,10 @@ package graft.operators
 
 import graft.SparkSpec
 
-/** Real-codec multimodal decode: PNG via ImageIO and WAV via javax.sound are
-  * lossless for the synthetic payloads, so every decoded attribute has a
-  * closed form in media_id (the same contract q57's DuckDB oracle checks).
+/** Real-codec multimodal decode: PNG via ImageIO, WAV via javax.sound, and
+  * multi-frame GIF video via the ImageIO sequence reader are all lossless
+  * for the synthetic payloads, so every decoded attribute has a closed form
+  * in media_id (the same contract q57's DuckDB oracle checks).
   */
 class MultimodalSpec extends SparkSpec {
 
@@ -26,12 +27,25 @@ class MultimodalSpec extends SparkSpec {
     feat.foreach(f => assert(math.abs(f - 1500f / 32768f) < 1e-6f))
   }
 
+  test("video decode recovers exact frame count, dims and per-frame gray from real GIF bytes") {
+    val grays = Seq(17, 250, 96, 0, 255)
+    val gif = Multimodal.encodeGrayGif(12, 9, grays)
+    val Some((w, h, n, feat)) = Multimodal.decodeGif(gif)
+    assert(w == 12 && h == 9 && n == 5)
+    assert(feat.length == 5)
+    // gray palette is lossless: each frame's mean luminance is exactly gray/255
+    grays.zip(feat).foreach { case (g, f) => assert(math.abs(f - g / 255f) < 1e-6f) }
+  }
+
   test("decode kernels reject undecodable payloads instead of throwing") {
     assert(Multimodal.decodeImage(Array[Byte](1, 2, 3)).isEmpty)
     assert(Multimodal.decodeImage(Array.empty[Byte]).isEmpty)
     assert(Multimodal.decodeImage(null).isEmpty)
     assert(Multimodal.decodeWav(Array[Byte](1, 2, 3)).isEmpty)
     assert(Multimodal.decodeWav(null).isEmpty)
+    assert(Multimodal.decodeGif(Array[Byte](1, 2, 3)).isEmpty)
+    assert(Multimodal.decodeGif(Array.empty[Byte]).isEmpty)
+    assert(Multimodal.decodeGif(null).isEmpty)
   }
 
   test("decodeMedia matches the closed-form attribute formulas per kind") {
@@ -46,19 +60,24 @@ class MultimodalSpec extends SparkSpec {
           assert(r.height == 16 + (r.media_id % 13).toInt)
           assert(r.gray == ((r.media_id * 37) % 256).toInt)
           assert(r.amp == 0 && r.duration_ms == 0L)
+          assert(r.frames == 1)
         case 1 =>
           assert(r.kind == "audio")
           assert(r.amp == 1000 + (r.media_id % 50).toInt * 100)
           assert(r.duration_ms == 100L + (r.media_id % 5) * 10L)
-          assert(r.width == 0 && r.height == 0 && r.gray == 0)
+          assert(r.width == 0 && r.height == 0 && r.gray == 0 && r.frames == 0)
         case _ =>
           assert(r.kind == "video")
-          assert(r.width == 0 && r.height == 0 && r.gray == 0 && r.amp == 0 && r.duration_ms == 0L)
+          assert(r.width == 8 + (r.media_id % 9).toInt)
+          assert(r.height == 8 + (r.media_id % 6).toInt)
+          assert(r.frames == 2 + (r.media_id % 4).toInt)
+          assert(r.gray == ((r.media_id * 31) % 256).toInt) // frame 0
+          assert(r.amp == 0 && r.duration_ms == 0L)
       }
     }
   }
 
-  test("extractFeatures: real image/audio features, deterministic across runs") {
+  test("extractFeatures: real image/audio/video features, deterministic across runs") {
     val media = Multimodal.syntheticMedia(spark, 51)
     val feats = Multimodal.extractFeatures(media, dim = 16).collect().sortBy(_.media_id)
     assert(feats.length == 51)
@@ -71,7 +90,13 @@ class MultimodalSpec extends SparkSpec {
         case 1 => // square wave: every RMS window == amp/32768
           val a = (1000 + (f.media_id % 50) * 100).toFloat / 32768f
           f.feature.foreach(v => assert(math.abs(v - a) < 1e-6f))
-        case _ => () // video stub: determinism checked below
+        case _ => // video: first `frames` slots are per-frame grays, rest zero-padded
+          val frames = 2 + (f.media_id % 4).toInt
+          (0 until frames).foreach { fr =>
+            val g = ((f.media_id * 31 + fr * 17) % 256).toFloat / 255f
+            assert(math.abs(f.feature(fr) - g) < 1e-6f)
+          }
+          (frames until 16).foreach(i => assert(f.feature(i) == 0f))
       }
     }
     val again = Multimodal.extractFeatures(media, dim = 16).collect().sortBy(_.media_id)
