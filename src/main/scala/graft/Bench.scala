@@ -57,13 +57,19 @@ object Bench {
     } catch { case _: Throwable => 32L }
 
   /** Executor heap (GiB) for `workers` coexisting executor JVMs: fit inside
-    * 70% of currently-available RAM minus slack for tmpfs shuffle + JVM
-    * overhead. MemAvailable already excludes the (pre-touched, resident)
-    * driver heap.
+    * 60% of currently-available RAM minus a fixed slack for tmpfs shuffle
+    * (non-reclaimable — /dev/shm pages count against host RAM until the
+    * ContextCleaner deletes the files) plus per-JVM overhead. MemAvailable
+    * already excludes the (pre-touched, resident) driver heap. The round-4
+    * full run OOM'd with the old 70%/−6 formula: 8 × 6 g-heap executors
+    * (~7 GiB rss each) + the 24 g driver + the 10 g idle forked parent left
+    * ~30 GiB for a 2M-doc round's accumulated shuffle and the kernel took
+    * the driver mid-round-2 — so the budget now prices the shuffle slack
+    * explicitly and caps lower.
     */
   private def execMemGb(workers: Int): Long = {
     val avail = meminfoGb("MemAvailable")
-    math.max(2L, math.min(10L, (avail * 7 / 10 - 6) / workers))
+    math.max(2L, math.min(10L, (avail * 6 / 10 - 8) / workers))
   }
 
   /** Delete stale shuffle dirs from killed runs — tmpfs pages count against
@@ -125,6 +131,13 @@ object Bench {
       // vs 50 s warm). -Xms pins the full heap and AlwaysPreTouch moves
       // every fault to spawn, which the registration poll below absorbs.
       .config("spark.executor.extraJavaOptions", s"-Xms${memGb}g -XX:+AlwaysPreTouch")
+      // Shuffle files live on tmpfs (RAM): the ContextCleaner only deletes a
+      // finished rep's shuffle files after a driver GC enqueues their weak
+      // refs, and its default periodic-GC interval is 30 MIN — far longer
+      // than a scaling round, so min-of-3 reps at 2M docs stacked three
+      // rounds' worth of dead shuffle in RAM (round-4 OOM). 45 s bounds the
+      // dead-file window to a fraction of one rep.
+      .config("spark.cleaner.periodicGC.interval", "45s")
       .config("spark.network.timeout", "600s")
       .config("spark.scheduler.maxRegisteredResourcesWaitingTime", "60s")
       .config("spark.executor.extraClassPath", codePath)
@@ -546,13 +559,26 @@ object Bench {
       val s = mk
       try {
         val f = math.min(runPipeline(s, tinyPath), runPipeline(s, tinyPath))
-        val t = (1 to reps).map(_ => runPipeline(s, path)).min
+        val t = (1 to reps).map { _ =>
+          // Release the previous rep's shuffle files from tmpfs BEFORE the
+          // next rep allocates its own: System.gc() enqueues the dead
+          // ShuffleDependency weak refs, the ContextCleaner then deletes the
+          // executor-side files (untimed — runs between reps).
+          System.gc()
+          runPipeline(s, path)
+        }.min
         (t, f)
       } finally {
         // local-cluster teardown can throw (executor heartbeat pools racing
         // shutdown — observed RejectedExecutionException after a clean run);
         // a failed stop must not discard the round's measurements.
         try s.stop() catch { case _: Throwable => () }
+        // Level boundary: no session alive → sweep the tmpfs shuffle dirs so
+        // the next level's executor sizing and the kernel both see the RAM
+        // those pages held (anything the cleaner missed is dead by now).
+        // The short sleep lets the dying executor JVMs actually exit first.
+        try { Thread.sleep(3000); cleanStaleLocalDirs() }
+        catch { case _: Throwable => () }
       }
     }
 
@@ -623,9 +649,12 @@ object Bench {
     var primaryDone = false
     try {
       // 1-core executors need far less heap than the 4-core spec (they hold
-      // 1/8 of the rows each at the hi level); 6 g caps the per-JVM pretouch
-      // at spawn, which is what dominates the 2-3 min registration wait.
-      val memU = math.min(6L, execMemGb(8))
+      // 1/8 of the rows each at the hi level); 5 g caps the per-JVM pretouch
+      // at spawn (which dominates the 2-3 min registration wait) AND keeps
+      // 8 coexisting executors ~8 GiB lighter than the 6 g cap that OOM'd
+      // the round-4 full run. One task per JVM (1 core) at 64 shuffle
+      // partitions ≈ 31k rows resident per task — 5 g is generous.
+      val memU = math.min(5L, execMemGb(8))
       runRounds(execSession(8, memU, 1), execSession(2, memU, 1),
         "executors_1c", exLo = 2, exHi = 8, coresLo = 2, coresHi = 8,
         docs = nUnsat, path = unsatPath, rHi = repsHi, rLo = repsLo,
