@@ -1,0 +1,138 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.config.GraftConfig
+import graft.pipeline.{Checkpoints, DedupPipeline}
+
+/** Production spark-submit entrypoint for the flagship dedup pipeline —
+  * the north_rule's "runs via spark-submit on a multi-executor cluster"
+  * surface. (Bench/Verify are sandbox evidence harnesses; this is the main
+  * a reference user deploys.)
+  *
+  * Reference analog: the worker service loop
+  * (`/root/reference/src/event_dedup/worker/pipeline_worker.py:41-88`) —
+  * re-expressed as ONE batch job: read pages, run
+  * extract→sketch→candidates→decide→cluster→synthesize, write canonicals.
+  * Scheduling/backoff live in the cluster scheduler (Airflow/cron +
+  * spark-submit), not in this JVM.
+  *
+  * Usage:
+  * {{{
+  * spark-submit --class graft.RunDedup <jar> \
+  *   --input  /data/pages            (parquet dir, or table:<catalog.tbl>)
+  *   --output /data/canonicals       (parquet dir, or table:<catalog.tbl>)
+  *   [--checkpoint /data/ckpt]       stage checkpoints + lineage → resumable
+  *   [--config-table /data/cfg]      key/value override table (DB-first)
+  *   [--config-props /path/app.conf] properties-file overrides
+  *   [--stages-out]                  also write decisions/labels next to output
+  *   [--metrics /path/metrics.json]  one-line JSON run summary
+  * }}}
+  *
+  * Deliberately NO `.master()` and NO hard-coded shuffle partitions here:
+  * spark-submit / cluster defaults own both (AQE coalesces shuffle
+  * partitions at runtime). Local callers (tests) pre-build their session —
+  * `getOrCreate` then reuses it.
+  */
+object RunDedup {
+
+  final case class Args(
+      input: String = "",
+      output: String = "",
+      checkpoint: Option[String] = None,
+      configTable: Option[String] = None,
+      configProps: Option[String] = None,
+      stagesOut: Boolean = false,
+      metrics: Option[String] = None)
+
+  def parse(argv: Array[String]): Args = {
+    def loop(rest: List[String], acc: Args): Args = rest match {
+      case Nil => acc
+      case "--input" :: v :: t => loop(t, acc.copy(input = v))
+      case "--output" :: v :: t => loop(t, acc.copy(output = v))
+      case "--checkpoint" :: v :: t => loop(t, acc.copy(checkpoint = Some(v)))
+      case "--config-table" :: v :: t => loop(t, acc.copy(configTable = Some(v)))
+      case "--config-props" :: v :: t => loop(t, acc.copy(configProps = Some(v)))
+      case "--stages-out" :: t => loop(t, acc.copy(stagesOut = true))
+      case "--metrics" :: v :: t => loop(t, acc.copy(metrics = Some(v)))
+      case bad :: _ => throw new IllegalArgumentException(s"unknown arg: $bad")
+    }
+    val a = loop(argv.toList, Args())
+    require(a.input.nonEmpty, "--input is required")
+    require(a.output.nonEmpty, "--output is required")
+    a
+  }
+
+  /** `table:<name>` → catalog table (Iceberg in a real deployment);
+    * otherwise a parquet path.
+    */
+  private def readInput(spark: SparkSession, spec: String): DataFrame =
+    if (spec.startsWith("table:")) spark.table(spec.stripPrefix("table:"))
+    else spark.read.parquet(spec)
+
+  private def writeOutput(df: DataFrame, spec: String): Unit =
+    if (spec.startsWith("table:"))
+      df.writeTo(spec.stripPrefix("table:")).createOrReplace()
+    else df.write.mode("overwrite").parquet(spec)
+
+  def run(spark: SparkSession, a: Args): Map[String, Long] = {
+    val t0 = System.nanoTime()
+    val cfg = GraftConfig.load(spark, a.configTable, a.configProps)
+    val pipeline = new DedupPipeline(spark, cfg, a.checkpoint)
+
+    val pages = readInput(spark, a.input)
+    val result = pipeline.runAll(pages)
+    writeOutput(result.canonicals, a.output)
+    // Side tables a downstream consumer needs for audit/incremental folds.
+    if (a.stagesOut) {
+      writeOutput(result.decisions, s"${a.output.stripSuffix("/")}_decisions")
+      writeOutput(result.labels, s"${a.output.stripSuffix("/")}_labels")
+    }
+
+    val canon = spark.read
+    val canonicalRows =
+      if (a.output.startsWith("table:")) spark.table(a.output.stripPrefix("table:")).count()
+      else canon.parquet(a.output).count()
+    val stats = Map(
+      "canonical_rows" -> canonicalRows,
+      "wall_ms" -> (System.nanoTime() - t0) / 1000000L)
+    // Per-stage row counts ride the checkpoint lineage when enabled (one
+    // tiny scan); without a checkpoint dir they'd cost a full re-count per
+    // stage, so only canonical_rows is reported.
+    val stageRows: Map[String, Long] = a.checkpoint match {
+      case Some(dir) =>
+        val lin = new Checkpoints(spark, dir, cfg.configHash).lineage()
+        if (lin.isEmpty) Map.empty
+        else
+          lin.groupBy("stage")
+            .agg(org.apache.spark.sql.functions.sum("rows").as("rows"))
+            .collect()
+            .map(r => s"rows_${r.getString(0)}" -> r.getLong(1))
+            .toMap
+      case None => Map.empty
+    }
+    if (a.checkpoint.isEmpty) pipeline.unpersistAll()
+    stats ++ stageRows
+  }
+
+  def main(argv: Array[String]): Unit = {
+    val a = parse(argv)
+    val spark = SparkSession.builder().appName("graft-dedup").getOrCreate()
+    try {
+      val stats = run(spark, a)
+      val json = stats.toSeq.sortBy(_._1)
+        .map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
+      a.metrics.foreach { p =>
+        val fs = new org.apache.hadoop.fs.Path(p)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val out = fs.create(new org.apache.hadoop.fs.Path(p), true)
+        try out.write(json.getBytes("UTF-8")) finally out.close()
+      }
+      // one machine-readable line, same contract as Bench/Verify
+      println(s"""[run_dedup] $json""")
+    } finally {
+      // spark-submit owns the session lifecycle in cluster mode; stopping
+      // here is correct for both client and cluster deploy modes.
+      spark.stop()
+    }
+  }
+}
