@@ -102,6 +102,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    Quiet.hintWarnings()
     s
   }
 
@@ -143,6 +144,7 @@ object Bench {
       .config("spark.executor.extraClassPath", codePath)
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    Quiet.hintWarnings()
     // Registration can legitimately take 2-3 min on this box: workers spawn
     // executor JVMs that pre-touch multi-GB heaps, and the Master retries
     // resource offers while they come up ("requires more resource than any
@@ -359,27 +361,21 @@ object Bench {
     val wallStart = System.nanoTime()
     def elapsed: Double = (System.nanoTime() - wallStart) / 1e9
     // Internal wall-clock budget: stop adding scaling rounds (never mid-run)
-    // once exceeded, so the driver's own timeout can't catch us with an
-    // unparseable partial line.
-    // 5000 s default: the primary scaling block needs ≥2 CLEAN completed
-    // rounds for the median to mean anything (round-3 verdict #3). A paired
-    // 2→8×1c round at the 2M scaling corpus (fresh hi+lo clusters, floor
-    // probes, min-of-3 hi reps / 1 lo rep) measures ~1,000-1,200 s; with
-    // the ~1,200-1,500 s pre-block (queries, headline, corpus gen, host
-    // probes) a 3600 s budget fit only TWO rounds — and this host's steal
-    // windows dirty ~half of them (measured: round 1 lo-floor 49 s vs
-    // round 2's 10 s), leaving a single clean round behind the median.
-    // 5000 s fits 3 rounds plus the ~700 s saturated-spec diagnostic
-    // (sat reserve yields to clean-round priority). Overshooting the
-    // driver's own timeout is SAFE by construction: every completed round
-    // re-emits the full+compact JSON pair, so a kill at any point leaves
-    // the driver the then-current last line (round 3's driver run survived
-    // ~5,000 s, and rounds 1-3 proved kills preserve the transport).
-    // Progressive emit + the sidecar file mean a driver kill mid-round
-    // still leaves every completed round parseable, so overshooting a
-    // driver timeout loses nothing.
+    // once exceeded, so the run EXITS 0 inside the driver's kill window.
+    // Round 4 set this to 5000 s (to fit a 3rd round + the saturated-spec
+    // diagnostic) and was killed at rc 124 — the driver's window is ~3600 s,
+    // and only the progressive-emit print order saved the round's evidence.
+    // The deadline is now conservative by default (3400 s — driver window
+    // minus margin for JVM spawn/teardown and one slow emit) and every
+    // OPTIONAL block (3rd+ scaling round, saturated-spec pair) is gated on
+    // remaining wall-clock; a skipped sat block is reported explicitly as
+    // "skipped_budget" rather than a silent null. At 3400 s the structural
+    // fit is: ~900 s pre-block (queries min-of-2, headline, corpus gen,
+    // host probes) + 2 × ~1,100 s clean 2→8×1c rounds — the VERDICT's
+    // accepted evidence shape — with the sat diagnostic yielding first.
+    // A driver with a bigger window can raise SPARK_GRAFT_BENCH_BUDGET_SECS.
     val budgetSecs = sys.env.get("SPARK_GRAFT_BENCH_BUDGET_SECS")
-      .map(_.toDouble).getOrElse(5000.0)
+      .map(_.toDouble).getOrElse(3400.0)
 
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
@@ -420,11 +416,13 @@ object Bench {
     var scalingSatJsonC = "null"
     var probeJson = "null"
     var probeJsonC = "null"
+    val lastCompact = new java.util.concurrent.atomic.AtomicReference[String]("")
     def emit(): Unit = {
       val full =
         f"""{"metric":"total","value":$totalQuerySecs%.3f,"unit":"sec","queries":$queriesJson,"sf":"$sfDir","dedup":$dedupJson,"scaling":$scalingJson,"scaling_saturated_spec":$scalingSatJson,"host_probe":$probeJson}"""
       val compact =
         f"""{"metric":"total","value":$totalQuerySecs%.3f,"unit":"sec","queries":$queriesJsonC,"sf":"$sfDir","dedup":$dedupJson,"scaling":$scalingJsonC,"scaling_saturated_spec":$scalingSatJsonC,"host_probe":$probeJsonC,"detail":"$sidecar"}"""
+      lastCompact.set(compact)
       println(full)
       println(compact)
       System.out.flush()
@@ -432,6 +430,16 @@ object Bench {
         (full + "\n").getBytes("UTF-8"))
       catch { case _: Throwable => () }
     }
+    // Last line of defense for the transport: if the driver's timeout kills
+    // this JVM anyway (SIGTERM → shutdown hooks run; the normal exit path is
+    // halt(0), which skips them), re-print the latest compact summary so the
+    // final stdout line is valid JSON even when a WARN/stack-trace from a
+    // dying executor raced the last progressive emit. Leading \n guarantees
+    // the re-print starts at column 0 regardless of interleaved output.
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      val c = lastCompact.get()
+      if (c.nonEmpty) { print("\n" + c + "\n"); System.out.flush() }
+    }))
 
     // ---- query timings at the driver-requested parallelism ----
     var spark = session(cpus)
@@ -560,11 +568,14 @@ object Bench {
       try {
         val f = math.min(runPipeline(s, tinyPath), runPipeline(s, tinyPath))
         val t = (1 to reps).map { _ =>
-          // Release the previous rep's shuffle files from tmpfs BEFORE the
-          // next rep allocates its own: System.gc() enqueues the dead
-          // ShuffleDependency weak refs, the ContextCleaner then deletes the
-          // executor-side files (untimed — runs between reps).
+          // Best-effort release of the previous rep's tmpfs shuffle files:
+          // System.gc() enqueues the dead ShuffleDependency weak refs, but
+          // the ContextCleaner deletes asynchronously — deletion can overlap
+          // the next rep's start or complete after it has allocated its own
+          // shuffle. The short sleep gives the cleaner a head start; the
+          // periodicGC.interval=45s config bounds whatever remains.
           System.gc()
+          try Thread.sleep(2000) catch { case _: InterruptedException => () }
           runPipeline(s, path)
         }.min
         (t, f)
@@ -605,8 +616,12 @@ object Bench {
       // north-rule evidence and outranks the diagnostic — a steal-window
       // streak may eat the sat pair's slot, never the other way around.
       def effReserve: Double = if (cleanRounds.size >= 2) reserve else 0.0
+      // 1.15 margin on the observed round cost: the budget is now sized to
+      // the driver's kill window, so starting a round that then overruns is
+      // the failure mode to avoid (a skipped round costs one median sample;
+      // an overrun costs the exit code).
       while (r < maxR && cleanRounds.size < math.min(cleanTarget, maxR) &&
-          (r == 0 || elapsed + roundCost * 1.05 + effReserve < budgetSecs)) {
+          (r == 0 || elapsed + roundCost * 1.15 + effReserve < budgetSecs)) {
         val rt0 = elapsed
         try {
           val (tH, fH) = levelRun(mkHi, path, rHi)
@@ -689,7 +704,11 @@ object Bench {
 
     // Saturated-spec diagnostic: single round, single rep per level — it is
     // the bound's EXISTENCE evidence (read with host_probe), not a median.
-    if (satRounds > 0 && elapsed + satReserve * 0.9 < budgetSecs) {
+    // Gated on the FULL estimated cost fitting the remaining budget (the
+    // round-4 rc-124 lesson: this block must never be the reason the run
+    // overshoots the driver's window); when it doesn't fit, say so in the
+    // JSON instead of leaving a silent null.
+    if (satRounds > 0 && elapsed + satReserve * 1.1 < budgetSecs) {
       try {
         val memS = execMemGb(4)
         runRounds(execSession(4, memS, 4), execSession(1, memS, 4),
@@ -698,7 +717,12 @@ object Bench {
           reserve = 0.0, set = (s, c) => { scalingSatJson = s; scalingSatJsonC = c })
       } catch { case e: Throwable =>
         System.err.println(s"[bench] saturated-spec pair skipped (${e.getMessage})")
+        if (scalingSatJson == "null") {
+          scalingSatJson = "\"skipped_error\""; scalingSatJsonC = "\"skipped_error\""
+        }
       }
+    } else if (satRounds > 0 && scalingSatJson == "null") {
+      scalingSatJson = "\"skipped_budget\""; scalingSatJsonC = "\"skipped_budget\""
     }
     emit()
     // The driver parses the LAST stdout line as JSON. Async teardown threads

@@ -45,6 +45,7 @@ object BenchScale {
       else b
     val s = withExec.getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    Quiet.hintWarnings()
     s
   }
 

@@ -13,6 +13,7 @@ object EntrySmoke {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    Quiet.hintWarnings()
     val df = SparkEntry.entry(spark)
     val rows = df.count()
     println(s"[entry-smoke] rows=$rows")

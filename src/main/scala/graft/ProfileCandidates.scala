@@ -22,6 +22,7 @@ object ProfileCandidates {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    Quiet.hintWarnings()
 
     val path = s"/tmp/graft_bench_pages_$n"
     if (!new java.io.File(path + "/_SUCCESS").exists()) {

@@ -37,6 +37,7 @@ object ProfilePipeline {
           new java.io.File("target/scala-2.13/classes").getAbsolutePath)
     } else b.master(s"local[$level]")).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    Quiet.hintWarnings()
 
     val path = s"/tmp/graft_bench_pages_$n"
     if (!new java.io.File(path + "/_SUCCESS").exists()) {

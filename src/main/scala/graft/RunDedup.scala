@@ -9,9 +9,10 @@ import graft.pipeline.{Checkpoints, DedupPipeline}
   * surface. (Bench/Verify are sandbox evidence harnesses; this is the main
   * a reference user deploys.)
   *
-  * Reference analog: the worker service loop
-  * (`/root/reference/src/event_dedup/worker/pipeline_worker.py:41-88`) —
-  * re-expressed as ONE batch job: read pages, run
+  * Reference analog: the worker orchestration loop's per-file pipeline
+  * trigger (`/root/reference/src/event_dedup/worker/orchestrator.py`
+  * `process_new_file`: ingest → load → match → persist) — re-expressed as
+  * ONE batch job: read pages, run
   * extract→sketch→candidates→decide→cluster→synthesize, write canonicals.
   * Scheduling/backoff live in the cluster scheduler (Airflow/cron +
   * spark-submit), not in this JVM.
@@ -22,6 +23,8 @@ import graft.pipeline.{Checkpoints, DedupPipeline}
   *   --input  /data/pages            (parquet dir, or table:<catalog.tbl>)
   *   --output /data/canonicals       (parquet dir, or table:<catalog.tbl>)
   *   [--checkpoint /data/ckpt]       stage checkpoints + lineage → resumable
+  *                                   (keyed on config hash + INPUT fingerprint:
+  *                                   a reused dir re-runs when input changes)
   *   [--config-table /data/cfg]      key/value override table (DB-first)
   *   [--config-props /path/app.conf] properties-file overrides
   *   [--stages-out]                  also write decisions/labels next to output
@@ -74,12 +77,43 @@ object RunDedup {
       df.writeTo(spec.stripPrefix("table:")).createOrReplace()
     else df.write.mode("overwrite").parquet(spec)
 
+  /** Input-identity fingerprint folded into the checkpoint key: a recurring
+    * Airflow/cron job reusing one `--checkpoint` dir across input batches
+    * must NOT silently replay the previous batch's checkpoints when the
+    * input changes. The fingerprint covers the input spec plus the sorted
+    * data-file listing (for moderate file counts, also each file's
+    * length + mtime, so an in-place rewrite invalidates too; Iceberg
+    * snapshots change file paths, so the listing alone captures snapshot
+    * identity for `table:` inputs).
+    */
+  private[graft] def inputFingerprint(spark: SparkSession, spec: String,
+      df: DataFrame): String = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    md.update(spec.getBytes("UTF-8"))
+    val files = df.inputFiles.sorted
+    files.foreach(f => md.update(f.getBytes("UTF-8")))
+    // stat only at moderate counts: per-file driver RPCs don't belong in a
+    // 10^6-file job's startup, and there the path set alone already shifts
+    // with any rewrite
+    if (files.nonEmpty && files.length <= 4096) {
+      val conf = spark.sparkContext.hadoopConfiguration
+      files.foreach { f =>
+        try {
+          val p = new org.apache.hadoop.fs.Path(f)
+          val st = p.getFileSystem(conf).getFileStatus(p)
+          md.update(s"#${st.getLen}#${st.getModificationTime}".getBytes("UTF-8"))
+        } catch { case _: Exception => () }
+      }
+    }
+    md.digest().map("%02x".format(_)).mkString.take(16)
+  }
+
   def run(spark: SparkSession, a: Args): Map[String, Long] = {
     val t0 = System.nanoTime()
     val cfg = GraftConfig.load(spark, a.configTable, a.configProps)
-    val pipeline = new DedupPipeline(spark, cfg, a.checkpoint)
-
     val pages = readInput(spark, a.input)
+    val pipeline = new DedupPipeline(spark, cfg, a.checkpoint,
+      ckptKeyExtra = inputFingerprint(spark, a.input, pages))
     val result = pipeline.runAll(pages)
     writeOutput(result.canonicals, a.output)
     // Side tables a downstream consumer needs for audit/incremental folds.
@@ -100,10 +134,15 @@ object RunDedup {
     // stage, so only canonical_rows is reported.
     val stageRows: Map[String, Long] = a.checkpoint match {
       case Some(dir) =>
-        val lin = new Checkpoints(spark, dir, cfg.configHash).lineage()
+        val lin = new Checkpoints(spark, dir, pipeline.checkpointKey).lineage()
         if (lin.isEmpty) Map.empty
         else
-          lin.groupBy("stage")
+          // filter on THIS run's full checkpoint key: a reused dir may hold
+          // lineage from older configs/inputs or stages no longer produced,
+          // which would otherwise inflate the rows_* summary
+          lin.where(org.apache.spark.sql.functions.col("config_hash")
+              === pipeline.checkpointKey)
+            .groupBy("stage")
             .agg(org.apache.spark.sql.functions.sum("rows").as("rows"))
             .collect()
             .map(r => s"rows_${r.getString(0)}" -> r.getLong(1))

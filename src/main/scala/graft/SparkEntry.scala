@@ -922,6 +922,55 @@ object SparkEntry {
   private def q57(s: SparkSession, dir: String): DataFrame =
     Multimodal.decodeMedia(Multimodal.syntheticMedia(s, 300)).toDF()
 
+  /** S14's windowed streaming host stats under the driver oracle (round-4
+    * verdict #7): pages are derived deterministically from the events table
+    * (host = `h<user_id%50>.example.com`, warc_ts = ts, article text =
+    * event_type — extraction+normalization recover it byte-exactly, so
+    * lengths carry), the REAL Structured Streaming query
+    * ([[graft.streaming.PagesStream.hostWindowStream]]) drains them with
+    * AvailableNow, a far-future sentinel row advances the watermark past
+    * every real window in a second drain, and the oracle recomputes the
+    * tumbling-window cells as plain date bucketing in DuckDB — `window('1
+    * day')` is epoch-aligned, so the two agree exactly; avg over
+    * integer-valued lengths is exact in double in both engines.
+    */
+  private def q58(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_q58").toString
+    val in = s"$base/in"; val out = s"$base/out"; val ck = s"$base/ckpt"
+    // column-wise build (the events ts is TIMESTAMP_NTZ in parquet; cast in
+    // the UTC session is lossless). htmlOf via a UDF: harness-only data
+    // generation, not a pipeline hot path.
+    val events = t(s, dir, "events").where(col("ts").isNotNull)
+    val htmlOf = udf((u: String, txt: String) => graft.datagen.PagesGen.htmlOf(u, txt, "en"))
+    val pages = events
+      .select(
+        concat(lit("https://h"), (col("user_id") % 50).cast("string"),
+          lit(".example.com/e"), col("event_id").cast("string")).as("url"),
+        col("ts").cast("timestamp").as("warc_ts"),
+        col("event_type"))
+      .select(col("url"), col("warc_ts"), htmlOf(col("url"), col("event_type")).as("html"),
+        lit(null).cast("string").as("text"), lit("en").as("lang"))
+    pages.write.mode("overwrite").parquet(in)
+    graft.streaming.PagesStream.hostWindowStream(s, in, out, ck,
+      windowDuration = "1 day", watermarkDelay = "1 second").awaitTermination()
+    // sentinel drain: closes every real window (its own stays open and its
+    // host is excluded below)
+    val maxTs = events.agg(max(col("ts").cast("timestamp"))).head().getTimestamp(0)
+    val sentinelUrl = "https://sentinel.example/late"
+    Seq((sentinelUrl, new java.sql.Timestamp(maxTs.getTime + 2L * 86400000L),
+      graft.datagen.PagesGen.htmlOf(sentinelUrl, "x", "en"),
+      null.asInstanceOf[String], "en"))
+      .toDF("url", "warc_ts", "html", "text", "lang")
+      .write.mode("append").parquet(in)
+    graft.streaming.PagesStream.hostWindowStream(s, in, out, ck,
+      windowDuration = "1 day", watermarkDelay = "1 second").awaitTermination()
+    s.read.parquet(out)
+      .where(col("host") =!= "sentinel.example")
+      .select(date_format(col("window_start"), "yyyy-MM-dd").as("day"),
+        col("host"), col("pages"), col("mean_text_len"))
+  }
+
   // =========================================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -981,7 +1030,8 @@ object SparkEntry {
     "q54_labeling_queue" -> (q54 _),
     "q55_length_quantiles_prod" -> (q55 _),
     "q56_entry_clusters" -> (q56 _),
-    "q57_media_decode" -> (q57 _)
+    "q57_media_decode" -> (q57 _),
+    "q58_stream_host_windows" -> (q58 _)
   )
 
   // ---------------------------------------------------------------------
@@ -1654,6 +1704,17 @@ object SparkEntry {
         |  CASE WHEN id % 3 = 1 THEN 100 + (id % 5) * 10 ELSE 0 END AS duration_ms,
         |  CASE WHEN id % 3 = 0 THEN 1
         |       WHEN id % 3 = 2 THEN 2 + (id % 4) ELSE 0 END AS frames
-        | FROM range(300) t(id)""".stripMargin
+        | FROM range(300) t(id)""".stripMargin,
+    // q58: the S14 streaming tumbling-window host stats, oracled as plain
+    // date bucketing (epoch-aligned 1-day windows ≡ date_trunc); the
+    // streamed article text round-trips event_type byte-exactly so
+    // mean_text_len ≡ avg(length(event_type)) — exact in double, both
+    // engines sum integer-valued doubles.
+    "q58_stream_host_windows" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS day,
+        | 'h' || CAST(user_id % 50 AS VARCHAR) || '.example.com' AS host,
+        | count(*) AS pages,
+        | avg(length(event_type)) AS mean_text_len
+        | FROM events WHERE ts IS NOT NULL GROUP BY 1, 2""".stripMargin
   )
 }

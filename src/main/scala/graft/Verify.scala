@@ -52,6 +52,7 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    Quiet.hintWarnings()
     var ok = 0
     var err = 0
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>

@@ -1,0 +1,105 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Registered (registrable) domain of a lowercased host under the FULL
+  * public suffix list — publicsuffix.org data, embedded as a classpath
+  * resource (`/graft/public_suffix_list.dat`, the Debian `publicsuffix`
+  * package copy; MPL-2.0-licensed public data).
+  *
+  * Implements the PSL algorithm (https://publicsuffix.org/list/):
+  * right-to-left label match; wildcard rules (`*.ck`) match one extra
+  * label; exception rules (`!www.ck`) prevail over everything and name a
+  * registrable domain directly; unmatched TLDs fall back to the implicit
+  * `*` rule (the TLD itself is the public suffix). Registered domain =
+  * public suffix + one label; a host that IS a public suffix yields ""
+  * (same no-match value as the previous regex implementation).
+  *
+  * A native `Expression` (not a UDF) so the per-row lookup stays inside
+  * whole-stage codegen next to the other scan-local URL kernels. The rule
+  * table loads once per JVM (executor-local static state, ~10k entries).
+  *
+  * Reference analog: host-level grouping at ingest
+  * (`/root/reference/src/event_dedup/ingestion/file_processor.py:68-130`
+  * canonicalizes record identity before the id-keyed insert).
+  */
+case class RegisteredDomainExpr(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(input: Any): Any =
+    Psl.registeredDomainU8(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Psl.registeredDomainU8($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): RegisteredDomainExpr =
+    copy(child = newChild)
+  override def prettyName: String = "registered_domain"
+}
+
+/** The parsed public suffix list: one static load per JVM. */
+object Psl {
+
+  // (normal rules, wildcard bases — the X of `*.X`, exception rules — the
+  // body of `!rule`). ICANN and PRIVATE sections both included (github.io
+  // style private registries group like registries for crawl dedup).
+  private val (rules, wildcards, exceptions):
+      (java.util.HashSet[String], java.util.HashSet[String], java.util.HashSet[String]) = {
+    val r = new java.util.HashSet[String](16384)
+    val w = new java.util.HashSet[String](256)
+    val e = new java.util.HashSet[String](16)
+    val in = getClass.getResourceAsStream("/graft/public_suffix_list.dat")
+    require(in != null, "embedded public_suffix_list.dat missing from classpath")
+    val src = scala.io.Source.fromInputStream(in, "UTF-8")
+    try {
+      for (raw <- src.getLines()) {
+        // spec: everything after the first whitespace is ignorable; skip
+        // comments and blanks
+        val line = raw.takeWhile(c => !Character.isWhitespace(c))
+        if (line.nonEmpty && !line.startsWith("//")) {
+          if (line.startsWith("!")) e.add(line.substring(1))
+          else if (line.startsWith("*.")) w.add(line.substring(2))
+          else r.add(line)
+        }
+      }
+    } finally src.close()
+    (r, w, e)
+  }
+
+  /** Codegen/interpreted shared entry point. Expects a lowercased host. */
+  def registeredDomainU8(host: UTF8String): UTF8String =
+    if (host == null) null
+    else UTF8String.fromString(registeredDomain(host.toString))
+
+  def registeredDomain(host: String): String = {
+    if (host == null || host.isEmpty) return ""
+    val labels = host.split('.')
+    val n = labels.length
+    if (n == 0 || labels.exists(_.isEmpty)) return "" // leading/trailing dot
+    // suffix starting at label i
+    def suffix(i: Int): String =
+      if (i == n - 1) labels(n - 1)
+      else labels.slice(i, n).mkString(".")
+    var excPs = -1 // public-suffix start via an exception rule
+    var normPs = -1 // via the longest normal/wildcard rule
+    var i = 0
+    while (i < n && (excPs < 0 || normPs < 0)) {
+      val s = suffix(i)
+      if (excPs < 0 && exceptions.contains(s)) excPs = i + 1
+      if (normPs < 0 &&
+        (rules.contains(s) || (i + 1 < n && wildcards.contains(suffix(i + 1)))))
+        normPs = i
+      i += 1
+    }
+    // exceptions prevail; otherwise longest rule; otherwise the implicit `*`
+    // rule (the bare TLD is the public suffix)
+    val psStart = if (excPs >= 0) excPs else if (normPs >= 0) normPs else n - 1
+    if (psStart == 0) "" // the host itself is a public suffix — unregistrable
+    else suffix(psStart - 1)
+  }
+}

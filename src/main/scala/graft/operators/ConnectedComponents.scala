@@ -133,7 +133,14 @@ object ConnectedComponents {
         if (rs < rd) parent(rd) = rs else parent(rs) = rd
       }
     }
-    parent.keys.toSeq.map(k => (k, find(k))).toDF("node", "component")
+    // Broadcast hint: this label table is driver-held and BOUNDED (≤ 2×
+    // driverFinishEdges nodes) while the vertex table it joins downstream is
+    // corpus-sized. Without the hint Spark plans the LocalRelation side of a
+    // sort-merge join as parallelize() slices, embedding ~MB row chunks in
+    // every task binary (the BENCH_r04 "task of very large size (1611 KiB)"
+    // warnings); the hint ships it once per executor via torrent broadcast
+    // and keeps the corpus side shuffle-free through the labels join.
+    broadcast(parent.keys.toSeq.map(k => (k, find(k))).toDF("node", "component"))
   }
 
   /** large-star: for each u over the symmetrized neighborhood,

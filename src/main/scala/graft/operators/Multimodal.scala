@@ -63,8 +63,18 @@ object Multimodal {
     */
   def decodeImage(payload: Array[Byte], grid: Int = 4): Option[(Int, Int, Int, Array[Float])] = {
     if (payload == null || payload.isEmpty) return None
-    val img = ImageIO.read(new ByteArrayInputStream(payload))
-    if (img == null) return None
+    // try/catch like the other two kernels: ImageIO.read returns null for
+    // unrecognized formats but THROWS on truncated/corrupt payloads of a
+    // recognized format — at crawl scale one bad blob must not fail the task.
+    try {
+      val img = ImageIO.read(new ByteArrayInputStream(payload))
+      if (img == null) return None
+      decodeImageImpl(img, grid)
+    } catch { case _: Exception => None }
+  }
+
+  private def decodeImageImpl(img: java.awt.image.BufferedImage,
+                              grid: Int): Option[(Int, Int, Int, Array[Float])] = {
     val (w, h) = (img.getWidth, img.getHeight)
     val raster = img.getRaster
     val bands = raster.getNumBands
@@ -145,9 +155,12 @@ object Multimodal {
       val readers = ImageIO.getImageReadersByFormatName("gif")
       if (!readers.hasNext) return None
       val reader = readers.next()
+      // Hold the stream so it can be closed: reader.dispose() does NOT close
+      // its input, and a file-cache-backed ImageInputStream would leak a temp
+      // file per row if ImageIO.setUseCache ever flips.
+      val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(payload))
       try {
-        reader.setInput(
-          ImageIO.createImageInputStream(new ByteArrayInputStream(payload)), false, true)
+        reader.setInput(iis, false, true)
         val n = reader.getNumImages(true)
         if (n <= 0) return None
         val grays = Array.tabulate(math.min(n, maxFrames)) { f =>
@@ -167,7 +180,7 @@ object Multimodal {
           (total.toDouble / (3.0 * w * h) / 255.0).toFloat
         }
         Some((reader.getWidth(0), reader.getHeight(0), n, grays))
-      } finally reader.dispose()
+      } finally { reader.dispose(); iis.close() }
     } catch { case _: Exception => None }
   }
 

@@ -21,58 +21,18 @@ object UrlOps {
   def host(url: Column): Column =
     regexp_replace(lower(parse_url(url, lit("HOST"))), "^www\\.", "")
 
-  /** Compact embedded subset of the public suffix list's MULTI-LABEL
-    * suffixes (publicsuffix.org — public data): hosts ending in one of
-    * these take three labels for the registered domain, everything else
-    * takes two. Covers the common ccTLD second-level registries
-    * (co.uk-style); the full PSL — including its 3-label and wildcard
-    * rules — is a data-file swap into this one list.
+  /** Registered domain under the FULL embedded public suffix list —
+    * normal, wildcard (`*.ck`) and exception (`!www.ck`) rules, ICANN and
+    * PRIVATE sections (see [[graft.functions.Psl]]). A native codegen'd
+    * `Expression`, scan-local like the rest of this file; "" when the host
+    * itself is a public suffix (unregistrable).
     */
-  private val MultiPartSuffixes = Seq(
-    "co.uk", "org.uk", "ac.uk", "gov.uk", "net.uk", "sch.uk", "me.uk", "ltd.uk", "plc.uk",
-    "com.au", "net.au", "org.au", "edu.au", "gov.au", "asn.au", "id.au",
-    "co.nz", "org.nz", "net.nz", "govt.nz", "ac.nz", "school.nz",
-    "co.jp", "or.jp", "ne.jp", "ac.jp", "ad.jp", "go.jp", "ed.jp", "gr.jp", "lg.jp",
-    "com.br", "org.br", "net.br", "gov.br", "edu.br",
-    "com.cn", "org.cn", "net.cn", "gov.cn", "edu.cn", "ac.cn",
-    "com.mx", "org.mx", "net.mx", "gob.mx", "edu.mx",
-    "com.ar", "org.ar", "net.ar", "gob.ar", "edu.ar",
-    "com.tr", "org.tr", "net.tr", "gov.tr", "edu.tr",
-    "com.tw", "org.tw", "net.tw", "gov.tw", "edu.tw",
-    "co.in", "org.in", "net.in", "gov.in", "ac.in", "edu.in",
-    "co.za", "org.za", "net.za", "gov.za", "ac.za", "web.za",
-    "co.kr", "or.kr", "ne.kr", "go.kr", "ac.kr", "re.kr", "pe.kr",
-    "com.sg", "org.sg", "net.sg", "edu.sg", "gov.sg",
-    "com.hk", "org.hk", "net.hk", "edu.hk", "gov.hk",
-    "com.my", "org.my", "net.my", "edu.my", "gov.my",
-    "com.pl", "org.pl", "net.pl", "edu.pl", "gov.pl", "waw.pl",
-    "com.co", "org.co", "net.co", "edu.co", "gov.co",
-    "com.ua", "org.ua", "net.ua", "edu.ua", "gov.ua", "in.ua",
-    "co.il", "org.il", "net.il", "ac.il", "gov.il", "muni.il",
-    "com.sa", "org.sa", "net.sa", "edu.sa", "gov.sa", "med.sa", "sch.sa",
-    "com.ph", "org.ph", "net.ph", "edu.ph", "gov.ph",
-    "com.vn", "org.vn", "net.vn", "edu.vn", "gov.vn", "ac.vn",
-    "co.th", "or.th", "ac.th", "go.th", "in.th", "net.th",
-    "co.id", "or.id", "ac.id", "go.id", "web.id", "sch.id", "net.id",
-    "com.pk", "org.pk", "net.pk", "edu.pk", "gov.pk",
-    "com.bd", "org.bd", "net.bd", "edu.bd", "gov.bd", "ac.bd",
-    "com.ng", "org.ng", "net.ng", "edu.ng", "gov.ng",
-    "co.ke", "or.ke", "ne.ke", "go.ke", "ac.ke",
-    "com.do", "com.ec", "com.uy", "com.py", "com.bo", "com.pe", "com.ve",
-    "com.gt", "com.sv", "com.ni", "com.pa")
-
-  // "<label>.<multi-part suffix or single label>$": Java regex find() takes
-  // the LEFTMOST matching start, so for "x.example.co.uk" the match anchors
-  // at "example" and the ordered alternation prefers "co.uk" over a bare
-  // final label — yielding "example.co.uk", while "x.example.com" yields
-  // "example.com". One compiled regex, codegen-friendly.
-  private val RegisteredDomainRe =
-    "([^.]+\\.(?:" + MultiPartSuffixes.map(_.replace(".", "\\.")).mkString("|") +
-      "|[^.]+))$"
-
-  /** Registered domain: PSL-subset-aware last-2-or-3 labels of the host. */
   def registeredDomain(url: Column): Column =
-    regexp_extract(host(url), RegisteredDomainRe, 1)
+    // RAW lowercased host, not [[host]]: the PSL walk already collapses a
+    // leading "www." label for ordinary domains, and pre-stripping it would
+    // break the exception rules where www IS the registrable domain (!www.ck)
+    graft.functions.toCol(graft.functions.RegisteredDomainExpr(
+      graft.functions.toExpr(lower(parse_url(url, lit("HOST"))))))
 
   /** Path segment count ("/a/b/c" → 3; "/" and "" → 0). */
   def pathDepth(url: Column): Column = {

@@ -19,11 +19,20 @@ import graft.operators._
 final class DedupPipeline(
     spark: SparkSession,
     cfg: GraftConfig = GraftConfig.default,
-    workDir: Option[String] = None
+    workDir: Option[String] = None,
+    // Extra checkpoint-identity component beyond the config hash — callers
+    // that reuse one checkpoint dir across INPUT batches (RunDedup) fold an
+    // input fingerprint in here, so a changed input invalidates the stages
+    // instead of silently replaying the previous batch's checkpoints.
+    ckptKeyExtra: String = ""
 ) {
   import spark.implicits._
 
-  private val ckpt = workDir.map(new Checkpoints(spark, _, cfg.configHash))
+  /** Full checkpoint identity: config hash, plus the caller's input key. */
+  val checkpointKey: String =
+    if (ckptKeyExtra.isEmpty) cfg.configHash else s"${cfg.configHash}-$ckptKeyExtra"
+
+  private val ckpt = workDir.map(new Checkpoints(spark, _, checkpointKey))
 
   /** Without a checkpoint dir, every stage is persisted: each one feeds
     * multiple downstream branches (extracted ×3, signatures ×3, decisions

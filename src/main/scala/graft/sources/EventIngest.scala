@@ -205,11 +205,17 @@ object EventIngest {
     * yields part 1 with an empty events array (service.py:93-108).
     *
     * `stamp`/`exportedAt` are caller-supplied (§7.5 determinism — no wall
-    * clock inside jobs). This is the API-parity path and is driver-bounded
-    * exactly like the reference's in-memory chunker (each part ≤ chunkSize
-    * events; parts stream through the driver one file at a time); the
-    * 100 TB path is [[export]]'s `maxRecordsPerFile` writer, which never
-    * touches the driver.
+    * clock inside jobs).
+    *
+    * DISTRIBUTED write: part payloads never cross the driver. The only
+    * `collect()` is the (part, event_count) metadata pass — two longs per
+    * part; the events-array strings are written by the EXECUTORS holding
+    * them, through the Hadoop FileSystem API (so `outDir` may be any
+    * supported scheme — file://, hdfs://, s3a://; the round-2 Checkpoints
+    * lesson: `java.nio.file` silently breaks on object stores). The global
+    * id order that assigns events to parts is a single-partition window —
+    * acceptable for the review-export sizes this API mirrors; the 100 TB
+    * bulk path remains [[export]]'s `maxRecordsPerFile` writer.
     *
     * @param eventsJson (id, event_json) — event_json from [[toInputFormat]]
     * @return (filename, part, event_count) per written file
@@ -219,7 +225,31 @@ object EventIngest {
       filtersJson: String = "null"): DataFrame = {
     val spark = eventsJson.sparkSession
     import spark.implicits._
-    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
+    import scala.jdk.CollectionConverters._
+    // Ship only the session's NON-DEFAULT hadoop conf entries to executors
+    // (credentials/endpoint overrides a user set via spark.hadoop.*); the
+    // executor rebuilds defaults from its own classpath. Keeps the closure
+    // tiny instead of serializing the full ~1k-entry Configuration.
+    val hadoopDefaults = new org.apache.hadoop.conf.Configuration()
+    val confOverrides: Array[(String, String)] =
+      spark.sessionState.newHadoopConf().asScala
+        .collect { case e if hadoopDefaults.get(e.getKey) != e.getValue =>
+          (e.getKey, e.getValue) }
+        .toArray
+    def fsFor(dir: String): (org.apache.hadoop.fs.FileSystem, org.apache.hadoop.fs.Path) = {
+      val conf = new org.apache.hadoop.conf.Configuration()
+      confOverrides.foreach { case (k, v) => conf.set(k, v) }
+      val p = new org.apache.hadoop.fs.Path(dir)
+      (p.getFileSystem(conf), p)
+    }
+    def partContent(arr: String, n: Long, part: Long, totalParts: Long): String =
+      s"""{"events":[$arr],"metadata":{"exportedAt":"$exportedAt","eventCount":$n,"part":$part,"totalParts":$totalParts,"filters":$filtersJson}}"""
+    def writeFile(fs: org.apache.hadoop.fs.FileSystem, base: org.apache.hadoop.fs.Path,
+        name: String, content: String): Unit = {
+      val out = fs.create(new org.apache.hadoop.fs.Path(base, name), true)
+      try out.write(content.getBytes("UTF-8")) finally out.close()
+    }
+
     val w = org.apache.spark.sql.expressions.Window.orderBy(col("id"))
     // Within-part event order must be the reference's id order contractually:
     // collect_list does NOT guarantee encounter order through the groupBy
@@ -233,20 +263,35 @@ object EventIngest {
           transform(sort_array(collect_list(struct(col("__rn"), col("event_json")))),
             s => s.getField("event_json")), ",").as("events_arr"),
         count(lit(1)).as("event_count"))
-      .orderBy("part")
-      .select("part", "events_arr", "event_count")
-      .as[(Long, String, Long)]
-      .collect()
-    val totalParts = math.max(1L, parts.length.toLong)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Metadata pass: ONLY (part, event_count) longs reach the driver.
+    val counts = parts.select($"part", $"event_count").as[(Long, Long)]
+      .collect().sortBy(_._1)
+    val totalParts = math.max(1L, counts.length.toLong)
+
+    val (fsDriver, basePath) = fsFor(outDir)
+    fsDriver.mkdirs(basePath)
+    if (counts.isEmpty) {
+      // reference semantics: an empty export still writes part 1
+      writeFile(fsDriver, basePath, s"export_${stamp}_part_1.json",
+        partContent("", 0L, 1L, 1L))
+    } else {
+      val (dirV, stampV, tp) = (outDir, stamp, totalParts) // avoid capturing `this`
+      parts.select($"part", $"events_arr", $"event_count").as[(Long, String, Long)]
+        .foreachPartition { (it: Iterator[(Long, String, Long)]) =>
+          if (it.hasNext) {
+            val (fs, base) = fsFor(dirV)
+            it.foreach { case (part, arr, n) =>
+              writeFile(fs, base, s"export_${stampV}_part_$part.json",
+                partContent(arr, n, part, tp))
+            }
+          }
+        }
+    }
+    parts.unpersist()
     val written =
-      (if (parts.isEmpty) Seq((1L, "", 0L)) else parts.toSeq).map { case (part, arr, n) =>
-        val content =
-          s"""{"events":[$arr],"metadata":{"exportedAt":"$exportedAt","eventCount":$n,"part":$part,"totalParts":$totalParts,"filters":$filtersJson}}"""
-        val name = s"export_${stamp}_part_$part.json"
-        java.nio.file.Files.write(
-          java.nio.file.Paths.get(s"$outDir/$name"), content.getBytes("UTF-8"))
-        (name, part, n)
-      }
+      if (counts.isEmpty) Seq((s"export_${stamp}_part_1.json", 1L, 0L))
+      else counts.toSeq.map { case (part, n) => (s"export_${stamp}_part_$part.json", part, n) }
     written.toDF("filename", "part", "event_count")
   }
 }

@@ -140,6 +140,12 @@ object PagesStream {
     * size tracks the TTL window, not the corpus. Pairs may repeat across
     * band keys (as in the batch tier pre-dedup); downstream consumers
     * dedup on (node_a, node_b).
+    *
+    * The cap is OBSERVABLE, not silent: pass `droppedCounter` (a
+    * `LongAccumulator` registered on this session's SparkContext) and every
+    * node a full bucket turns away increments it — the operational signal
+    * that a hot key is degrading recall and `maxBucketSize` (or upstream
+    * boilerplate filtering) needs attention.
     */
   def candidatePairStream(
       spark: SparkSession,
@@ -148,7 +154,8 @@ object PagesStream {
       checkpointDir: String,
       cfg: GraftConfig = GraftConfig.default,
       stateTtl: String = "1 hour",
-      availableNow: Boolean = true
+      availableNow: Boolean = true,
+      droppedCounter: Option[org.apache.spark.util.LongAccumulator] = None
   ): StreamingQuery = {
     import spark.implicits._
     val ttlMs = org.apache.spark.sql.catalyst.util.IntervalUtils
@@ -175,16 +182,26 @@ object PagesStream {
           if (state.hasTimedOut) { state.remove(); Iterator.empty }
           else {
             // sort within the micro-batch for deterministic emission order;
-            // the PAIR SET is order-independent below the bucket cap
+            // the PAIR SET is order-independent below the bucket cap.
+            // Membership is probed via a HashSet rebuilt from the state Seq
+            // (which keeps emission order) — O(1) per arrival instead of the
+            // O(n) Seq.contains that made a capped hot bucket worst-case
+            // O(cap²) comparisons per micro-batch.
             var seen = state.getOption.getOrElse(Seq.empty[Long])
+            val seenSet = scala.collection.mutable.HashSet.empty[Long]
+            seenSet ++= seen
+            var dropped = 0L
             val out = Seq.newBuilder[(Long, Long)]
-            for (r <- rows.toSeq.sortBy(_.node)
-                if !seen.contains(r.node) && seen.size < maxBucket) {
-              out ++= seen.map(o =>
-                (math.min(o, r.node), math.max(o, r.node)))
-              seen = seen :+ r.node
+            for (r <- rows.toSeq.sortBy(_.node); if !seenSet.contains(r.node)) {
+              if (seenSet.size < maxBucket) {
+                out ++= seen.map(o =>
+                  (math.min(o, r.node), math.max(o, r.node)))
+                seen = seen :+ r.node
+                seenSet += r.node
+              } else dropped += 1L
             }
             state.update(seen)
+            if (dropped > 0L) droppedCounter.foreach(_.add(dropped))
             // expire this bucket's state one TTL past the current watermark
             if (state.getCurrentWatermarkMs() > 0)
               state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + ttlMillis)

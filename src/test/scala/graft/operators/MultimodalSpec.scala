@@ -48,6 +48,50 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.decodeGif(null).isEmpty)
   }
 
+  test("truncated payloads of a recognized format decode to None, and flow through " +
+    "extractFeatures as zero vectors instead of failing the task") {
+    // Truncation after the magic bytes is the dangerous case: the codec is
+    // selected (so ImageIO.read does NOT return null) and then throws mid-parse.
+    val png = Multimodal.encodeGrayPng(20, 13, 137)
+    val wav = Multimodal.encodeSquareWav(880, 1500)
+    val gif = Multimodal.encodeGrayGif(12, 9, Seq(17, 250))
+    val badPng = png.take(png.length / 3)
+    val badWav = wav.take(20) // inside the RIFF header — no format chunk yet
+    val badGif = gif.take(gif.length / 3)
+    assert(Multimodal.decodeImage(badPng).isEmpty)
+    assert(Multimodal.decodeWav(badWav).isEmpty)
+    assert(Multimodal.decodeGif(badGif).isEmpty)
+    // WAV truncated mid-data is a GRACEFUL partial decode (header intact,
+    // javax.sound reads the frames that exist) — the invariant is no-throw
+    val partial = Multimodal.decodeWav(wav.take(wav.length / 3))
+    assert(partial.forall(_._2 == 1500)) // whatever frames survive, RMS==amp
+    // random garbage through every kernel too
+    val noise = Array.tabulate(256)(i => ((i * 131 + 7) % 251).toByte)
+    assert(Multimodal.decodeImage(noise).isEmpty)
+    assert(Multimodal.decodeWav(noise).isEmpty)
+    assert(Multimodal.decodeGif(noise).isEmpty)
+    // end-to-end: a corrupt row inside a batch must not kill the job
+    import org.apache.spark.sql.functions.{col, struct, lit}
+    import spark.implicits._
+    val rows = Seq((0L, "image", badPng), (1L, "audio", badWav), (2L, "video", badGif),
+      (3L, "image", noise), (4L, "image", png))
+    val df = rows.toDF("media_id", "kind", "payload")
+      .withColumn("meta", struct(lit(null).cast("int").as("width"),
+        lit(null).cast("int").as("height"), lit(null).cast("long").as("duration_ms"),
+        lit(null).cast("string").as("mime")))
+    val feats = Multimodal.extractFeatures(df, dim = 16).collect().sortBy(_.media_id)
+    assert(feats.length == 5)
+    (0 to 3).foreach(i => assert(feats(i).feature.forall(_ == 0f)))
+    feats(4).feature.foreach(v => assert(math.abs(v - 137f / 255f) < 1e-6f))
+    val decoded = Multimodal.decodeMedia(df).collect().sortBy(_.media_id)
+    (0 to 3).foreach { i =>
+      val r = decoded(i)
+      assert(r.width == 0 && r.height == 0 && r.gray == 0 && r.amp == 0 &&
+        r.duration_ms == 0L && r.frames == 0)
+    }
+    assert(decoded(4).width == 20 && decoded(4).height == 13 && decoded(4).gray == 137)
+  }
+
   test("decodeMedia matches the closed-form attribute formulas per kind") {
     val media = Multimodal.syntheticMedia(spark, 60)
     val got = Multimodal.decodeMedia(media).collect().sortBy(_.media_id)

@@ -49,6 +49,31 @@ class UrlOpsSpec extends SparkSpec {
       "bbc.co.uk", "example.com.au", "example.com", "example.co", "example.co.jp"))
   }
 
+  test("registeredDomain: full-PSL wildcard and exception rules") {
+    val got = Seq(
+      "https://shop.example.ck/",      // *.ck wildcard: example.ck is the public suffix
+      "https://www.ck/",               // !www.ck exception: registrable itself
+      "https://foo.www.ck/",           // under the exception: www.ck
+      "https://user.github.io/repo",   // PRIVATE section rule
+      "https://city.kawasaki.jp/",     // !city.kawasaki.jp exception
+      "https://x.other.kawasaki.jp/",  // *.kawasaki.jp wildcard
+      "https://com/"                   // host IS a public suffix → ""
+    ).toDF("u").select(UrlOps.registeredDomain($"u")).as[String].collect().toSeq
+    assert(got == Seq(
+      "shop.example.ck", "www.ck", "www.ck", "user.github.io",
+      "city.kawasaki.jp", "x.other.kawasaki.jp", ""))
+  }
+
+  test("Psl.registeredDomain matches the PSL algorithm on edge shapes") {
+    import graft.functions.Psl
+    assert(Psl.registeredDomain("example.com") == "example.com")
+    assert(Psl.registeredDomain("a.b.example.co.uk") == "example.co.uk")
+    assert(Psl.registeredDomain("unknown-tld-zz") == "") // single label
+    assert(Psl.registeredDomain("foo.unknown-tld-zz") == "foo.unknown-tld-zz") // implicit *
+    assert(Psl.registeredDomain("") == "")
+    assert(Psl.registeredDomain(".example.com") == "") // empty label
+  }
+
   test("pathDepth of root and empty paths is 0") {
     val got = Seq("https://example.com/", "https://example.com")
       .toDF("u").select(UrlOps.pathDepth($"u")).as[Int].collect().toSeq

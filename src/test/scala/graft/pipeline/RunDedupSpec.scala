@@ -51,5 +51,17 @@ class RunDedupSpec extends SparkSpec {
       .filter(_.getName.endsWith("__meta.json")).map(f => f.getName -> f.lastModified).toMap
     assert(metaAfter == metaBefore, "checkpointed stages were recomputed on re-run")
     assert(stats2("canonical_rows") == stats("canonical_rows"))
+
+    // CHANGED input under the SAME checkpoint dir must re-run, not silently
+    // replay the previous batch (checkpoint key = config hash + input
+    // fingerprint): a recurring job reusing one --checkpoint dir is the
+    // normal deployment shape.
+    PagesGen.pages(spark, 150L).toDF.write.mode("overwrite").parquet(in)
+    val stats3 = RunDedup.run(spark, args)
+    assert(stats3("rows_labels") == 150L,
+      s"stale checkpoint replayed: ${stats3.filter(_._1.startsWith("rows_"))}")
+    assert(spark.read.parquet(s"${out}_labels").count() == 150L)
+    // and the rows_* summary must not mix in the 400-page batch's lineage
+    assert(stats3("rows_extracted") == 150L)
   }
 }

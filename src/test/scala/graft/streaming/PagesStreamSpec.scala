@@ -98,6 +98,46 @@ class PagesStreamSpec extends SparkSpec {
         s"missing=${(oracleSet -- gotSet).take(3)} extra=${(gotSet -- oracleSet).take(3)}")
   }
 
+  test("hot bucket: per-key cap bounds the pair set and the drop counter surfaces it") {
+    val base = Files.createTempDirectory("graft-hot-stream").toString
+    val in = s"$base/in"; val out = s"$base/out"; val ckpt = s"$base/ckpt"
+    new java.io.File(in).mkdirs()
+
+    val cfg0 = graft.config.GraftConfig.default
+    val cfg = cfg0.copy(lsh = cfg0.lsh.copy(maxBucketSize = 3))
+    // 20 distinct urls with IDENTICAL html → identical minhash → every node
+    // lands in the same LSH buckets (one per band): a synthetic hot bucket.
+    val html = PagesGen.htmlOf("https://hot.example/p0",
+      "boilerplate text repeated across the whole hot bucket. " * 30, "en")
+    val rows = (0 until 20).map(i => (s"https://hot.example/p$i",
+      new java.sql.Timestamp(1735689600000L + i * 1000L), html,
+      null.asInstanceOf[String], "en"))
+    rows.toDF("url", "warc_ts", "html", "text", "lang").write.mode("append").parquet(in)
+
+    val dropped = spark.sparkContext.longAccumulator("graft.lsh.dropped_candidates")
+    PagesStream.candidatePairStream(spark, in, out, ckpt, cfg,
+      stateTtl = "365 days", droppedCounter = Some(dropped)).awaitTermination()
+
+    val pairs = spark.read.parquet(out).select($"node_a", $"node_b").distinct()
+      .as[(Long, Long)].collect().toSet
+    val nodesInPairs = pairs.flatMap(p => Set(p._1, p._2))
+    // cap=3 → at most 3 nodes survive per bucket (same 3 in every bucket:
+    // deterministic smallest-node-first order) → C(3,2)=3 distinct pairs
+    assert(nodesInPairs.size == 3, s"got ${nodesInPairs.size} nodes")
+    assert(pairs.size == 3, s"got ${pairs.size} pairs")
+    // every distinct band key turned away the other 17 nodes — observable
+    val sigs = MinHashLsh.signatures(
+      rows.toDF("url", "warc_ts", "html", "text", "lang")
+        .select($"url", graft.functions.TextFunctions.extractText($"html").as("extracted_text")),
+      cfg)
+    val distinctKeys = sigs.where($"minhash".isNotNull)
+      .select(explode(graft.functions.Hashing.bandKeys(
+        $"minhash", cfg.lsh.bands, cfg.lsh.rowsPerBand)).as("key"))
+      .select("key").distinct().count()
+    assert(dropped.value == distinctKeys * 17,
+      s"dropped=${dropped.value}, keys=$distinctKeys")
+  }
+
   test("flatMapGroupsWithState candidate stream ≡ batch LSH candidates across two batches") {
     val base = Files.createTempDirectory("graft-cand-stream").toString
     val in = s"$base/in"; val out = s"$base/out"; val ckpt = s"$base/ckpt"
