@@ -92,15 +92,42 @@ object Bench {
   /** Identical SQL plans at every parallelism level: shuffle partitions are
     * fixed (AQE coalesces the small ones), only executor-thread count varies.
     */
+  /** Build a session, draining any half-stopped predecessor context first.
+    *
+    * When a local-cluster level dies at spawn (e.g. executor launch env
+    * broken), the standalone backend kills the app and stops the
+    * SparkContext FROM ITS OWN THREAD (`stopInNewThread`): for a short
+    * window the context registry still holds the stopped context, and
+    * `getOrCreate` happily returns it — every downstream call then throws
+    * "Cannot call methods on a stopped SparkContext". Observed taking down
+    * the ENTIRE scaling fallback chain (4c pair AND the always-available
+    * thread fallback) from one bad spawn. Re-building until the async stop
+    * clears the registry gives each fallback stage a clean slate; the bound
+    * is generous because teardown includes worker/master RPC shutdown.
+    */
+  private def buildFresh(build: => SparkSession, maxMs: Long = 60000L): SparkSession = {
+    val end = System.currentTimeMillis() + maxMs
+    var s = build
+    while (s.sparkContext.isStopped && System.currentTimeMillis() < end) {
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      Thread.sleep(200)
+      s = build
+    }
+    require(!s.sparkContext.isStopped,
+      s"predecessor SparkContext still mid-teardown after $maxMs ms")
+    s
+  }
+
   private def session(cores: Int): SparkSession = {
-    val s = SparkSession.builder()
+    val s = buildFresh(SparkSession.builder()
       .master(s"local[$cores]")
       .appName(s"graft-bench-$cores")
       .config("spark.sql.shuffle.partitions", "64")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+      .getOrCreate())
     s.sparkContext.setLogLevel("WARN")
     Quiet.hintWarnings()
     s
@@ -114,9 +141,16 @@ object Bench {
     * starved cluster otherwise hangs forever with scheduler WARNs.
     */
   private def execSession(workers: Int, memGb: Long, coresPerExec: Int = 4): SparkSession = {
+    // The standalone Worker builds the executor launch command through the
+    // launcher library, which resolves the Spark dist and Scala version from
+    // the ENVIRONMENT — unset, the spawn dies with the launcher's cryptic
+    // "Cannot find any build directories". Name the real fix up front.
+    for (miss <- Seq("SPARK_HOME", "SPARK_SCALA_VERSION").filterNot(sys.env.contains))
+      System.err.println(s"[bench] env $miss unset — local-cluster executor " +
+        s"spawn may fail (export it as scripts/profile_modes.sh does)")
     val codePath = new java.io.File(
       getClass.getProtectionDomain.getCodeSource.getLocation.toURI).getAbsolutePath
-    val s = SparkSession.builder()
+    val s = buildFresh(SparkSession.builder()
       .master(s"local-cluster[$workers,$coresPerExec,${memGb * 1024 + 1024}]")
       .appName(s"graft-bench-exec-$workers")
       .config("spark.sql.shuffle.partitions", "64")
@@ -142,7 +176,7 @@ object Bench {
       .config("spark.network.timeout", "600s")
       .config("spark.scheduler.maxRegisteredResourcesWaitingTime", "60s")
       .config("spark.executor.extraClassPath", codePath)
-      .getOrCreate()
+      .getOrCreate())
     s.sparkContext.setLogLevel("WARN")
     Quiet.hintWarnings()
     // Registration can legitimately take 2-3 min on this box: workers spawn

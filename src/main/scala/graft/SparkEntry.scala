@@ -971,6 +971,97 @@ object SparkEntry {
         col("host"), col("pages"), col("mean_text_len"))
   }
 
+  /** S3 file-hash idempotency under the driver oracle (round-4 verdict #7
+    * spirit — promote spec-only operators to driver-green rows where
+    * expressible): the ingest ledger anti-join
+    * ([[graft.sources.EventIngest.skipIngested]],
+    * `file_processor.py:187-196`) over documents whose SHA-256 already
+    * appears in a ledger seeded from every fifth doc. NOT EXISTS on the
+    * DuckDB side mirrors left_anti's null-key-keeps-row semantics.
+    */
+  private def q59(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val files = docs.select(col("doc_id"), col("text"))
+      .withColumn("file_hash", graft.sources.EventIngest.fileHash(col("text")))
+    val ledger = docs.where(col("doc_id") % 5 === 0)
+      .select(graft.sources.EventIngest.fileHash(col("text")).as("file_hash"))
+    graft.sources.EventIngest.skipIngested(files, ledger)
+      .select("doc_id", "file_hash")
+  }
+
+  /** P3 city-alias normalization under the driver oracle: the broadcast
+    * alias join inside [[graft.sources.EventIngest.withNormalized]]
+    * (`normalizer.py:70-110`). City values are the corpus lang codes —
+    * plain-ASCII fixed points of normalize_text, so the oracle is a pure
+    * CASE map and the check isolates exactly the alias-coalesce semantics.
+    */
+  private def q60(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val eventsLike = docs.select(col("doc_id"),
+      col("source").as("title"),
+      lit(null).cast("string").as("description"),
+      lit(null).cast("string").as("short_description"),
+      col("lang").as("location_city"))
+    graft.sources.EventIngest.withNormalized(eventsLike,
+        cityAliases = Map("de" -> "germany", "zh" -> "china"))
+      .select(col("doc_id"), col("city_normalized"))
+  }
+
+  /** A2 decision cache under the driver oracle
+    * ([[Decisions.resolveWithCache]], `ai_matching/cache.py:60-141`): every
+    * fourth doc's content hash is pre-cached as a `match`; misses resolve by
+    * a parity rule. The oracle recomputes hit-vs-miss with EXISTS — equality
+    * holds iff the cache join routes each row to the right branch.
+    */
+  private def q61(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val pairs = docs.select(col("doc_id"), col("n_chars"),
+      sha2(col("text"), 256).as("content_hash"))
+    val cache = docs.where(col("doc_id") % 4 === 0)
+      .select(sha2(col("text"), 256).as("content_hash"))
+      .distinct()
+      .select(col("content_hash"), lit("match").as("decision"),
+        lit("cached").as("tier"))
+    val (all, _) = Decisions.resolveWithCache(pairs, cache) { misses =>
+      misses
+        .withColumn("decision",
+          when(col("n_chars") % 2 === 0, "match").otherwise("no_match"))
+        .withColumn("tier", lit("fresh"))
+    }
+    all.select(col("doc_id"), col("decision"), col("tier"))
+  }
+
+  /** Q9 review queue under the driver oracle ([[Review.reviewQueue]],
+    * `api/routes/review.py:63-80`): flagged-or-uncertain clusters (derived
+    * deterministically from the events table) ordered by ascending
+    * confidence with component tie-break — a total order, so page 2 is
+    * well-defined in both engines.
+    */
+  private def q62(s: SparkSession, dir: String): DataFrame = {
+    val clusters = t(s, dir, "events")
+      .groupBy(col("user_id").as("component"))
+      .agg(count(lit(1)).as("size"), min(col("value")).as("match_confidence"))
+      .withColumn("flagged", col("component") % 10 === 0)
+    Review.reviewQueue(clusters, page = 2, pageSize = 20)
+      .select("component", "size", "flagged", "match_confidence")
+  }
+
+  /** G14 enrichment downgrade prevention under the driver oracle
+    * ([[Synthesis.enrich]], `canonical/enrichment.py:19-64`): a re-synthesis
+    * that SHORTENS every even doc's text and lengthens every odd one's. The
+    * oracle asserts the even rows keep the longer curated text (prevention
+    * firing) and odd rows take the fresh text, with the version bumped.
+    */
+  private def q63(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val existing = docs.select(col("doc_id"), col("text"), lit(3L).as("version"))
+    val fresh = docs.select(col("doc_id"),
+      when(col("doc_id") % 2 === 0, substring(col("text"), 1, 10))
+        .otherwise(concat(col("text"), lit(" appended"))).as("text"))
+    Synthesis.enrich(existing, fresh, "doc_id", Seq("text"))
+      .select(col("doc_id"), col("text"), col("version"))
+  }
+
   // =========================================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1031,7 +1122,12 @@ object SparkEntry {
     "q55_length_quantiles_prod" -> (q55 _),
     "q56_entry_clusters" -> (q56 _),
     "q57_media_decode" -> (q57 _),
-    "q58_stream_host_windows" -> (q58 _)
+    "q58_stream_host_windows" -> (q58 _),
+    "q59_skip_ingested" -> (q59 _),
+    "q60_city_alias_normalize" -> (q60 _),
+    "q61_decision_cache" -> (q61 _),
+    "q62_review_queue" -> (q62 _),
+    "q63_enrich_no_downgrade" -> (q63 _)
   )
 
   // ---------------------------------------------------------------------
@@ -1715,6 +1811,54 @@ object SparkEntry {
         | 'h' || CAST(user_id % 50 AS VARCHAR) || '.example.com' AS host,
         | count(*) AS pages,
         | avg(length(event_type)) AS mean_text_len
-        | FROM events WHERE ts IS NOT NULL GROUP BY 1, 2""".stripMargin
+        | FROM events WHERE ts IS NOT NULL GROUP BY 1, 2""".stripMargin,
+    // q59: ledger anti-join — NOT EXISTS (not NOT IN) to mirror left_anti's
+    // null-key-keeps-row semantics.
+    "q59_skip_ingested" ->
+      """SELECT d.doc_id, sha256(d.text) AS file_hash
+        | FROM documents d
+        | WHERE NOT EXISTS (
+        |   SELECT 1 FROM documents l
+        |   WHERE l.doc_id % 5 = 0 AND sha256(l.text) = sha256(d.text))""".stripMargin,
+    // q60: lang codes are plain-ASCII fixed points of normalize_text, so
+    // the alias join is the only transform in play.
+    "q60_city_alias_normalize" ->
+      """SELECT doc_id,
+        |  CASE WHEN lang = 'de' THEN 'germany'
+        |       WHEN lang = 'zh' THEN 'china'
+        |       ELSE lang END AS city_normalized
+        | FROM documents""".stripMargin,
+    // q61: cache hit iff some doc_id%4=0 row shares the text hash; misses
+    // resolve by the n_chars parity rule.
+    "q61_decision_cache" ->
+      """SELECT d.doc_id,
+        |  CASE WHEN EXISTS (SELECT 1 FROM documents c
+        |                    WHERE c.doc_id % 4 = 0 AND sha256(c.text) = sha256(d.text))
+        |       THEN 'match'
+        |       WHEN d.n_chars % 2 = 0 THEN 'match' ELSE 'no_match' END AS decision,
+        |  CASE WHEN EXISTS (SELECT 1 FROM documents c
+        |                    WHERE c.doc_id % 4 = 0 AND sha256(c.text) = sha256(d.text))
+        |       THEN 'cached' ELSE 'fresh' END AS tier
+        | FROM documents d""".stripMargin,
+    // q62: min(value) is exact (no summation); (confidence, component) is a
+    // total order so OFFSET/LIMIT agree across engines.
+    "q62_review_queue" ->
+      """WITH clusters AS (
+        |  SELECT user_id AS component, count(*) AS size,
+        |         min(value) AS match_confidence, user_id % 10 = 0 AS flagged
+        |  FROM events GROUP BY user_id)
+        | SELECT component, size, flagged, match_confidence
+        | FROM clusters
+        | WHERE flagged OR (match_confidence < 0.8 AND size > 1)
+        | ORDER BY match_confidence ASC NULLS FIRST, component
+        | LIMIT 20 OFFSET 20""".stripMargin,
+    // q63: even rows keep the longer curated text (downgrade prevention),
+    // odd rows take the lengthened fresh text; version bumps 3 -> 4.
+    "q63_enrich_no_downgrade" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 2 = 0 THEN text
+        |       ELSE text || ' appended' END AS text,
+        |  CAST(4 AS BIGINT) AS version
+        | FROM documents""".stripMargin
   )
 }
