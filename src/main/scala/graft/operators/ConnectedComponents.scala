@@ -135,12 +135,21 @@ object ConnectedComponents {
     }
     // Broadcast hint: this label table is driver-held and BOUNDED (≤ 2×
     // driverFinishEdges nodes) while the vertex table it joins downstream is
-    // corpus-sized. Without the hint Spark plans the LocalRelation side of a
-    // sort-merge join as parallelize() slices, embedding ~MB row chunks in
-    // every task binary (the BENCH_r04 "task of very large size (1611 KiB)"
-    // warnings); the hint ships it once per executor via torrent broadcast
-    // and keeps the corpus side shuffle-free through the labels join.
-    broadcast(parent.keys.toSeq.map(k => (k, find(k))).toDF("node", "component"))
+    // corpus-sized — the hint ships it once per executor via torrent
+    // broadcast and keeps the corpus side shuffle-free through the labels
+    // join. The rows are parallelized into ≤ ~512 KiB slices FIRST: a bare
+    // LocalRelation only takes the broadcast path in JOIN consumers, while
+    // non-join consumers (the checkpoint write, cluster-size aggregations)
+    // plan LocalTableScanExec, which splits the rows across just
+    // defaultParallelism tasks — at 2M finisher labels that embedded
+    // 1.6-6.4 MB row chunks per task binary (the BENCH_r04/r05
+    // "task of very large size" TaskSetManager warnings, sized exactly
+    // inversely to the executor count).
+    val labels = parent.keys.toSeq.map(k => (k, find(k)))
+    val slices = math.max(spark.sparkContext.defaultParallelism,
+      1 + labels.length / 16384) // ~16k (Long,Long) rows ≈ 512 KiB serialized
+    broadcast(spark.sparkContext.parallelize(labels, slices)
+      .toDF("node", "component"))
   }
 
   /** large-star: for each u over the symmetrized neighborhood,
