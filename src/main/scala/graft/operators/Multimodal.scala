@@ -18,12 +18,15 @@ import org.apache.spark.sql.types._
   *     every JDK) → width/height + mean-pooled grayscale grid features.
   *   - audio: `javax.sound.sampled.AudioSystem` (WAV/PCM) → duration + RMS
   *     window features.
-  *   - video: the JDK GIF codec reads AND writes multi-frame sequences, so
-  *     video is a real temporal container parse — frame count, dimensions,
-  *     per-frame mean-luminance (frame-sampled) features. A production
-  *     deployment swaps the GIF reader for an MP4/WebM demuxer behind the
-  *     same `decodeGif`-shaped seam; the batching, schema, partitioning and
-  *     output contract are identical.
+  *   - video: payloads are sniffed at the container level — ISO-BMFF (MP4)
+  *     payloads route through [[Mp4.demux]] (pure byte-level box parsing:
+  *     dimensions, duration, frame count, per-sample byte sizes — the
+  *     metadata a crawl pipeline partitions/filters on before any pixel
+  *     decode); everything else tries the JDK GIF codec, which reads
+  *     multi-frame sequences, giving a pixel-level temporal parse —
+  *     frame count, dimensions, per-frame mean-luminance (frame-sampled)
+  *     features. Pixel decode of MP4 needs an H.264/VP9 codec no JDK
+  *     ships and stays behind the same seam.
   */
 object Multimodal {
 
@@ -209,6 +212,10 @@ object Multimodal {
               .getOrElse(Array.fill(dim)(0f))
             case "audio" => decodeWav(bytes, dim).map(r => fitDim(r._3, dim))
               .getOrElse(Array.fill(dim)(0f))
+            case _ if Mp4.isIsoBmff(bytes) => // video: per-sample byte sizes
+              Mp4.demux(bytes)
+                .map(i => fitDim(i.sampleSizes.map(s => math.min(1f, s / 65536f)), dim))
+                .getOrElse(Array.fill(dim)(0f))
             case _ => decodeGif(bytes, dim).map(r => fitDim(r._4, dim))
               .getOrElse(Array.fill(dim)(0f)) // video: per-frame samples
           }
@@ -236,6 +243,12 @@ object Multimodal {
             case "audio" =>
               val (d, a, _) = decodeWav(payload).getOrElse((0L, 0, Array.empty[Float]))
               MediaDecode(id, kind, 0, 0, 0, a, d, 0)
+            case _ if Mp4.isIsoBmff(payload) =>
+              Mp4.demux(payload) match {
+                case Some(i) => MediaDecode(id, kind, i.width, i.height, 0, 0,
+                  i.durationMs, i.frames)
+                case None => MediaDecode(id, kind, 0, 0, 0, 0, 0L, 0)
+              }
             case _ =>
               val (w, h, n, grays) = decodeGif(payload).getOrElse((0, 0, 0, Array.empty[Float]))
               val g0 = if (grays.nonEmpty) math.round(grays(0) * 255f) else 0
