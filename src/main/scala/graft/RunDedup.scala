@@ -82,26 +82,47 @@ object RunDedup {
     * must NOT silently replay the previous batch's checkpoints when the
     * input changes. The fingerprint covers the input spec plus the sorted
     * data-file listing (for moderate file counts, also each file's
-    * length + mtime, so an in-place rewrite invalidates too; Iceberg
-    * snapshots change file paths, so the listing alone captures snapshot
-    * identity for `table:` inputs).
+    * length + mtime — ONE listStatus per parent dir, never a per-file
+    * RPC — so an in-place rewrite invalidates too).
+    *
+    * CAVEAT: `Dataset.inputFiles` is empty for catalog relations that
+    * aren't file-backed in Spark's eyes (e.g. an Iceberg DSv2 table) —
+    * there the fingerprint degrades to SHA(spec) and CANNOT see snapshot
+    * changes. A warning is logged; use a unique `--checkpoint` dir per
+    * input batch for such tables.
     */
   private[graft] def inputFingerprint(spark: SparkSession, spec: String,
       df: DataFrame): String = {
     val md = java.security.MessageDigest.getInstance("SHA-256")
     md.update(spec.getBytes("UTF-8"))
     val files = df.inputFiles.sorted
+    if (files.isEmpty && spec.startsWith("table:"))
+      System.err.println(s"[graft] WARN: input '$spec' exposes no data files " +
+        "(non-file-backed catalog relation) — the checkpoint key cannot " +
+        "detect input changes; use a unique --checkpoint dir per batch")
     files.foreach(f => md.update(f.getBytes("UTF-8")))
-    // stat only at moderate counts: per-file driver RPCs don't belong in a
+    // stat only at moderate counts: driver-side listings don't belong in a
     // 10^6-file job's startup, and there the path set alone already shifts
     // with any rewrite
     if (files.nonEmpty && files.length <= 4096) {
       val conf = spark.sparkContext.hadoopConfiguration
+      // group by parent so the stats come from one listStatus per directory
+      val byParent = scala.collection.mutable.LinkedHashMap
+        .empty[org.apache.hadoop.fs.Path, scala.collection.mutable.TreeSet[String]]
       files.foreach { f =>
+        val p = new org.apache.hadoop.fs.Path(f)
+        if (p.getParent != null)
+          byParent.getOrElseUpdate(p.getParent,
+            scala.collection.mutable.TreeSet.empty[String]) += p.getName
+      }
+      byParent.foreach { case (dir, names) =>
         try {
-          val p = new org.apache.hadoop.fs.Path(f)
-          val st = p.getFileSystem(conf).getFileStatus(p)
-          md.update(s"#${st.getLen}#${st.getModificationTime}".getBytes("UTF-8"))
+          dir.getFileSystem(conf).listStatus(dir)
+            .filter(st => names.contains(st.getPath.getName))
+            .sortBy(_.getPath.getName)
+            .foreach(st => md.update(
+              s"#${st.getPath.getName}#${st.getLen}#${st.getModificationTime}"
+                .getBytes("UTF-8")))
         } catch { case _: Exception => () }
       }
     }
@@ -112,8 +133,11 @@ object RunDedup {
     val t0 = System.nanoTime()
     val cfg = GraftConfig.load(spark, a.configTable, a.configProps)
     val pages = readInput(spark, a.input)
+    // the fingerprint exists only to invalidate checkpoints — without a
+    // checkpoint dir there is nothing to invalidate, so skip the listing
     val pipeline = new DedupPipeline(spark, cfg, a.checkpoint,
-      ckptKeyExtra = inputFingerprint(spark, a.input, pages))
+      ckptKeyExtra =
+        if (a.checkpoint.isDefined) inputFingerprint(spark, a.input, pages) else "")
     val result = pipeline.runAll(pages)
     writeOutput(result.canonicals, a.output)
     // Side tables a downstream consumer needs for audit/incremental folds.

@@ -936,7 +936,14 @@ object SparkEntry {
     */
   private def q58(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val base = java.nio.file.Files.createTempDirectory("graft_q58").toString
+    // fixed path, wiped up front: a fresh createTempDirectory per call
+    // would leak a corpus-sized dir (input copy + checkpoint + output) on
+    // every Verify run; this bounds the footprint to one copy. Deleting at
+    // START (not end) keeps the returned DataFrame's lazy parquet scan of
+    // `out` valid for the caller's write.
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_q58"
+    val basePath = new org.apache.hadoop.fs.Path(base)
+    basePath.getFileSystem(s.sparkContext.hadoopConfiguration).delete(basePath, true)
     val in = s"$base/in"; val out = s"$base/out"; val ck = s"$base/ckpt"
     // column-wise build (the events ts is TIMESTAMP_NTZ in parquet; cast in
     // the UTC session is lossless). htmlOf via a UDF: harness-only data

@@ -56,15 +56,24 @@ object Psl {
     val in = getClass.getResourceAsStream("/graft/public_suffix_list.dat")
     require(in != null, "embedded public_suffix_list.dat missing from classpath")
     val src = scala.io.Source.fromInputStream(in, "UTF-8")
+    // The list publishes IDN rules as unicode U-labels (`公司.cn`); hosts
+    // arriving from crawled URLs are usually punycode A-labels
+    // (`xn--55qx5d.cn`). Store BOTH forms so either host spelling matches.
+    def addForms(set: java.util.HashSet[String], rule: String): Unit = {
+      set.add(rule)
+      if (rule.exists(_ > 0x7f))
+        try set.add(java.net.IDN.toASCII(rule, java.net.IDN.ALLOW_UNASSIGNED))
+        catch { case _: Exception => () }
+    }
     try {
       for (raw <- src.getLines()) {
         // spec: everything after the first whitespace is ignorable; skip
         // comments and blanks
         val line = raw.takeWhile(c => !Character.isWhitespace(c))
         if (line.nonEmpty && !line.startsWith("//")) {
-          if (line.startsWith("!")) e.add(line.substring(1))
-          else if (line.startsWith("*.")) w.add(line.substring(2))
-          else r.add(line)
+          if (line.startsWith("!")) addForms(e, line.substring(1))
+          else if (line.startsWith("*.")) addForms(w, line.substring(2))
+          else addForms(r, line)
         }
       }
     } finally src.close()

@@ -231,6 +231,22 @@ object MinHashLsh {
     * the hot path intentionally skips the est diagnostic; pass a frame from
     * [[signatures]] directly to get it.
     */
+  /** Broadcast semi-join reduction shared by every verify consumer: prune a
+    * corpus-wide per-node `frame` to rows whose `node` appears in `pairs`
+    * (node_a/node_b) — only pair members can contribute to a pair join, so
+    * the frame's payload (shingle arrays, full text) must never cross the
+    * verify shuffle for non-candidate nodes. Node ids only cross the
+    * broadcast (a few MB even at 10^8 docs; beyond the broadcast budget
+    * swap the hint for a shuffled or bloom semi-join — ONE place now).
+    * No `.distinct()` on the pair nodes: the broadcast HashedRelation
+    * dedups keys while it builds; a pre-dedup would only add a shuffle.
+    */
+  def pruneToPairNodes(frame: DataFrame, pairs: DataFrame): DataFrame = {
+    val nodes = pairs.select(col("node_a").as("node"))
+      .unionByName(pairs.select(col("node_b").as("node")))
+    frame.join(broadcast(nodes), Seq("node"), "left_semi")
+  }
+
   def verify(candidates: DataFrame, sigs: DataFrame, cfg: GraftConfig): DataFrame = {
     val hasMinhash = sigs.columns.contains("minhash")
     if (hasMinhash) {

@@ -125,11 +125,26 @@ object Mp4 {
       val uniform = u32(payload, stsz.from + 4)
       val nSamples = u32(payload, stsz.from + 8)
       if (nSamples < 0 || nSamples > (1L << 24)) return None // sanity cap
+      // Header fields are attacker/corruption-controlled: never let them
+      // size an allocation the payload can't justify (a 100-byte blob
+      // declaring 2^24 uniform samples must degrade to None, not a 64 MB
+      // Array per row), and a size >= 2^31 must not wrap to a negative Int.
+      if (uniform > Int.MaxValue) return None
       val sizes: Array[Int] =
-        if (uniform != 0L) Array.fill(nSamples.toInt)(uniform.toInt)
-        else {
+        if (uniform != 0L) {
+          if (nSamples > payload.length) return None
+          Array.fill(nSamples.toInt)(uniform.toInt)
+        } else {
           if (stsz.from + 12 + 4L * nSamples > stsz.until) return None
-          Array.tabulate(nSamples.toInt)(i => u32(payload, stsz.from + 12 + 4 * i).toInt)
+          val a = new Array[Int](nSamples.toInt)
+          var i = 0
+          while (i < a.length) {
+            val v = u32(payload, stsz.from + 12 + 4 * i)
+            if (v > Int.MaxValue) return None
+            a(i) = v.toInt
+            i += 1
+          }
+          a
         }
 
       // stts cross-check: sum of sample_counts must equal the stsz count

@@ -16,13 +16,20 @@ import org.apache.spark.sql.functions._
   */
 final class AuditLog(spark: SparkSession, path: String) {
 
-  private var seq: Long = 0L
+  // seq continues from the stored max PER run_id: a later session resuming
+  // the same run must not reuse seq values (duplicate (run_id, seq) pairs
+  // would make the within-run order unrecoverable). Single writer per run
+  // assumed — concurrent appenders to one run_id still race.
+  private val seqs = scala.collection.mutable.HashMap.empty[String, Long]
 
   /** Append one audit action. The frame's own columns are folded into a
     * details JSON string so heterogeneous actions (split vs merge) share one
     * table schema: (run_id, seq, action, details).
     */
   def append(audit: DataFrame, runId: String): Unit = {
+    val seq = seqs.getOrElseUpdate(runId,
+      history().where(col("run_id") === runId)
+        .agg(coalesce(max(col("seq")) + 1L, lit(0L))).collect()(0).getLong(0))
     val detailCols = audit.columns.filterNot(_ == "action")
     val row = audit.select(
       lit(runId).as("run_id"),
@@ -30,7 +37,7 @@ final class AuditLog(spark: SparkSession, path: String) {
       col("action"),
       to_json(struct(detailCols.map(col): _*)).as("details"))
     row.write.mode("append").parquet(path)
-    seq += 1
+    seqs(runId) = seq + 1
   }
 
   /** The full audit history (empty frame with the right schema if nothing

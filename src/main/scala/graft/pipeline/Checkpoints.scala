@@ -39,7 +39,10 @@ final class Checkpoints(spark: SparkSession, workDir: String, configHash: String
   def isComplete(stage: String): Boolean = {
     val p = new Path(metaPath(stage))
     val f = fs(metaPath(stage))
-    f.exists(p) && {
+    // the data dir must exist too: a meta sidecar orphaned by partial
+    // cleanup would otherwise skip recompute and crash on the read-back —
+    // checking here self-heals (the stage recomputes)
+    f.exists(p) && f.exists(new Path(dataPath(stage))) && {
       val in = f.open(p)
       try {
         val bytes = new Array[Byte](f.getFileStatus(p).getLen.toInt)
@@ -98,6 +101,13 @@ final class Checkpoints(spark: SparkSession, workDir: String, configHash: String
     * registration is durable and this method body is the only code that
     * changes.
     */
+  // Bucketed tables are config-keyed in LOCATION, not just table name: a
+  // config change must get a fresh directory — re-registering a new-config
+  // table over the old config's files would silently mix rows computed
+  // under different configs (e.g. band keys from two different LSH seeds)
+  // into one index. The stage() meta-hash invalidation, applied to paths.
+  private def bucketedDataPath(name: String) = s"$workDir/${name}__$configHash"
+
   def bucketedAppend(name: String, df: DataFrame, bucketCol: String,
       numBuckets: Int): DataFrame = {
     val table = bucketedTableName(name)
@@ -105,14 +115,14 @@ final class Checkpoints(spark: SparkSession, workDir: String, configHash: String
     val writer = df.write
       .bucketBy(numBuckets, bucketCol)
       .sortBy(bucketCol)
-      .option("path", dataPath(name))
+      .option("path", bucketedDataPath(name))
     if (spark.catalog.tableExists(table)) writer.mode("append").saveAsTable(table)
     else {
       writer.mode("overwrite").saveAsTable(table)
       // registration sidecar: enough to re-CREATE the catalog entry over
       // the same files in a later session (in-memory catalog loses it)
       val f = fs(workDir)
-      val out = f.create(new Path(dataPath(name) + "__bucketmeta.json"), true)
+      val out = f.create(new Path(bucketedDataPath(name) + "__bucketmeta.json"), true)
       try out.write(
         s"""{"ddl":"${df.schema.toDDL.replace("\"", "\\\"")}","bucket_col":"$bucketCol","buckets":$numBuckets}"""
           .getBytes("UTF-8"))
@@ -133,7 +143,7 @@ final class Checkpoints(spark: SparkSession, workDir: String, configHash: String
   private def reRegister(name: String): Unit = {
     val t = bucketedTableName(name)
     if (!spark.catalog.tableExists(t)) {
-      val metaP = new Path(dataPath(name) + "__bucketmeta.json")
+      val metaP = new Path(bucketedDataPath(name) + "__bucketmeta.json")
       val f = fs(workDir)
       if (f.exists(metaP)) {
         val in = f.open(metaP)
@@ -151,7 +161,7 @@ final class Checkpoints(spark: SparkSession, workDir: String, configHash: String
              |CLUSTERED BY (${field("bucket_col")})
              |SORTED BY (${field("bucket_col")})
              |INTO ${field("buckets")} BUCKETS
-             |LOCATION '${dataPath(name)}'""".stripMargin)
+             |LOCATION '${bucketedDataPath(name)}'""".stripMargin)
       }
     }
   }
@@ -161,6 +171,36 @@ final class Checkpoints(spark: SparkSession, workDir: String, configHash: String
   private def bucketedTableName(name: String): String =
     ("graft_" + name + "_" +
       Integer.toHexString((workDir + "#" + configHash).hashCode)).replace('-', 'n')
+
+  /** Tiny durable boolean flag, config-keyed — crash-replay markers for
+    * multi-table appends (IncrementalDedup's batch ledger): set after an
+    * append lands so a replayed fold re-appends exactly the missing
+    * table(s) and nothing twice.
+    */
+  def flag(name: String): Boolean =
+    fs(workDir).exists(new Path(s"$workDir/${name}__flag_$configHash"))
+
+  def setFlag(name: String): Unit = {
+    val f = fs(workDir)
+    f.mkdirs(new Path(workDir))
+    f.create(new Path(s"$workDir/${name}__flag_$configHash"), true).close()
+  }
+
+  /** Small config-keyed sidecar table (parquet), if it exists. */
+  def sideTable(name: String): Option[DataFrame] = {
+    val p = s"$workDir/${name}__side_$configHash"
+    if (fs(workDir).exists(new Path(p))) Some(spark.read.parquet(p)) else None
+  }
+
+  /** Write a small sidecar table and return it READ BACK from disk (the
+    * write is the materialization point — callers use this to pin a
+    * derived set before mutating the tables it was derived from).
+    */
+  def writeSideTable(name: String, df: DataFrame): DataFrame = {
+    val p = s"$workDir/${name}__side_$configHash"
+    df.write.mode("overwrite").parquet(p)
+    spark.read.parquet(p)
+  }
 
   /** All lineage rows across stages (the per-partition metrics table). */
   def lineage(): DataFrame = {

@@ -43,12 +43,30 @@ final class DedupPipeline(
     */
   private val stageCache = scala.collection.mutable.HashMap.empty[String, DataFrame]
 
-  private def stage(name: String)(compute: => DataFrame): DataFrame =
+  // Memoization is keyed by stage NAME: one pipeline instance serves ONE
+  // corpus. Remember each stage's input plans and fail fast if the stage is
+  // re-invoked with a different input — the silent alternative returns
+  // corpus A's cached stage for corpus B.
+  private val stageInputs = scala.collection.mutable.HashMap
+    .empty[String, Seq[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan]]
+
+  private def stage(name: String, inputs: DataFrame*)(compute: => DataFrame): DataFrame = {
+    val plans = inputs.map(_.queryExecution.analyzed)
+    stageInputs.get(name) match {
+      case Some(prev) =>
+        require(prev.length == plans.length &&
+          prev.lazyZip(plans).forall((a, b) => a.sameResult(b)),
+          s"DedupPipeline stage '$name' was already computed for a different " +
+            "input — stage results are memoized per instance; build a new " +
+            "DedupPipeline for a new corpus")
+      case None => stageInputs(name) = plans
+    }
     stageCache.getOrElseUpdate(name, ckpt match {
       case Some(c) => c.stage(name)(compute)
       case None =>
         compute.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     })
+  }
 
   /** Release persisted stage data (no-checkpoint mode). */
   def unpersistAll(): Unit = {
@@ -57,7 +75,7 @@ final class DedupPipeline(
   }
 
   /** Extraction: html bytes → normalized text (byte-identical per url). */
-  def extracted(pages: DataFrame): DataFrame = stage("extracted") {
+  def extracted(pages: DataFrame): DataFrame = stage("extracted", pages) {
     pages.select(
       col("url"),
       col("warc_ts"),
@@ -83,7 +101,7 @@ final class DedupPipeline(
     * remains available from [[MinHashLsh.signatures]] for the
     * carried-signature verification path at 10^12-doc scale.
     */
-  def signatures(extractedDf: DataFrame): DataFrame = stage("signatures") {
+  def signatures(extractedDf: DataFrame): DataFrame = stage("signatures", extractedDf) {
     MinHashLsh.signatures(extractedDf, cfg)
       .select(col("url"), col("node"), col("shingles"),
         graft.functions.Hashing.bandKeys(col("minhash"), cfg.lsh.bands, cfg.lsh.rowsPerBand)
@@ -96,7 +114,7 @@ final class DedupPipeline(
     * 'lsh'). One self-join instead of two — the band join is THE dominant
     * shuffle at scale.
     */
-  def candidates(sigs: DataFrame): DataFrame = stage("candidates") {
+  def candidates(sigs: DataFrame): DataFrame = stage("candidates", sigs) {
     // The exploded key frame feeds three subplans (hot-key agg, both
     // self-join sides). Round 1 cached it; round 2 re-derives it per
     // consumer instead: the explode's inputs (node, simhash, band_keys) are
@@ -108,7 +126,7 @@ final class DedupPipeline(
   }
 
   /** Long-exact-overlap tier pairs (node_a, node_b, overlap_len). */
-  def overlaps(extractedDf: DataFrame): DataFrame = stage("overlaps") {
+  def overlaps(extractedDf: DataFrame): DataFrame = stage("overlaps", extractedDf) {
     val texts = extractedDf
       .select(xxhash64(col("url")).as("node"), col("extracted_text"))
       .as[(Long, String)]
@@ -131,37 +149,33 @@ final class DedupPipeline(
     * syndication scans (q21).
     */
   def decisions(cands: DataFrame, sigs: DataFrame, extractedDf: DataFrame): DataFrame = {
-    val tier1 = stage("tier1_decisions") {
+    val tier1 = stage("tier1_decisions", cands, sigs) {
       // Semi-join reduction on the verify join: the two node-equi-joins
       // would otherwise shuffle EVERY doc's shingle array (the widest
-      // per-doc payload) even though only candidate-pair nodes can match.
-      // Pruning the signature side by a broadcast semi-join on the
-      // candidate node set (node ids only — a few MB even at 10^8 docs;
-      // beyond the broadcast budget swap the hint for a shuffled or bloom
-      // semi-join) cuts the verify shuffle to the candidate subset at zero
-      // added compute — the explicit form of the runtime semi-join
-      // reduction Spark doesn't inject here.
-      // no .distinct(): the broadcast HashedRelation dedups keys while it
-      // builds, so a pre-dedup would only add a full shuffle + stage barrier
-      val candNodes = cands.select(col("node_a").as("node"))
-        .unionByName(cands.select(col("node_b").as("node")))
-      val shingleSide = sigs.select(col("node"), col("url"), col("shingles"))
-        .join(broadcast(candNodes), Seq("node"), "left_semi")
+      // per-doc payload) even though only candidate-pair nodes can match —
+      // the explicit form of the runtime semi-join reduction Spark doesn't
+      // inject here ([[MinHashLsh.pruneToPairNodes]]).
+      val shingleSide = MinHashLsh.pruneToPairNodes(
+        sigs.select(col("node"), col("url"), col("shingles")), cands)
       Decisions.decide(MinHashLsh.verify(cands, shingleSide, cfg), cfg)
     }
-    stage("decisions") {
+    stage("decisions", cands, sigs, extractedDf) {
       val byNode = extractedDf.select(xxhash64(col("url")).as("node"), col("extracted_text"))
-      val texts = byNode.as[(Long, String)]
       val ambPairs = tier1.where(col("decision") === "ambiguous").select("node_a", "node_b")
-      val ambOverlaps = SuffixOverlap.verify(ambPairs, texts, cfg)
-      Decisions.resolveAmbiguous(tier1, byNode, ambOverlaps, cfg)
+      // Same reduction as tier-1, on a WIDER payload: only ambiguous-pair
+      // nodes can contribute to tier-2, so the corpus-wide text frame must
+      // not cross the two LCS-verify equi-joins (nor feed the corpus-wide
+      // text-hash scan inside resolveAmbiguous).
+      val ambTexts = MinHashLsh.pruneToPairNodes(byNode, ambPairs)
+      val ambOverlaps = SuffixOverlap.verify(ambPairs, ambTexts.as[(Long, String)], cfg)
+      Decisions.resolveAmbiguous(tier1, ambTexts, ambOverlaps, cfg)
     }
   }
 
   /** Cluster labels over the full vertex universe (singletons preserved,
     * graph_cluster.py:65-66).
     */
-  def labels(sigs: DataFrame, decisionsDf: DataFrame): DataFrame = stage("labels") {
+  def labels(sigs: DataFrame, decisionsDf: DataFrame): DataFrame = stage("labels", sigs, decisionsDf) {
     val vertices = sigs.select(col("node"))
     val edges = Decisions.matchEdges(decisionsDf)
     ConnectedComponents.labelsWithSingletons(vertices, edges)
@@ -172,7 +186,8 @@ final class DedupPipeline(
     * (G13 analog).
     */
   def canonicals(labelsDf: DataFrame, extractedDf: DataFrame,
-      decisionsDf: Option[DataFrame] = None): DataFrame = stage("canonicals") {
+      decisionsDf: Option[DataFrame] = None): DataFrame =
+    stage("canonicals", (Seq(labelsDf, extractedDf) ++ decisionsDf.toSeq): _*) {
     // Narrow labels join: `__text_len` is projected BEFORE the join so the
     // extracted text column never crosses the node shuffle; the winner-text
     // fetch inside canonicals reads (url, extracted_text) straight off the

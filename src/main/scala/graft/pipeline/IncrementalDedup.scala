@@ -44,7 +44,12 @@ import graft.operators._
   *
   * Determinism: labels are component minima, so an incremental fold of
   * A then B yields byte-identical labels to a full run over A ∪ B —
-  * asserted by IncrementalDedupSpec (in both state-backends).
+  * asserted by IncrementalDedupSpec (in both state-backends) — PROVIDED no
+  * band key crosses `maxBucketSize` between folds: edges found while a key
+  * was still below the cap persist in state, whereas a full run over A ∪ B
+  * prunes the now-hot key outright. Near the cap the incremental path thus
+  * keeps strictly MORE true-duplicate edges than the full run — a
+  * recall-conservative divergence (extra verified matches, never lost ones).
   */
 final class IncrementalDedup(spark: SparkSession, cfg: GraftConfig = GraftConfig.default,
     checkpoints: Option[Checkpoints] = None, bandBuckets: Int = 64) {
@@ -94,34 +99,79 @@ final class IncrementalDedup(spark: SparkSession, cfg: GraftConfig = GraftConfig
     * HashingSpec). The node set is broadcast (ids only); beyond the
     * broadcast budget swap the hint for a shuffled/bloom semi-join.
     */
-  private def shingleSideOf(sigs: DataFrame, cands: DataFrame): DataFrame = {
-    // no .distinct(): the broadcast HashedRelation dedups keys as it builds
-    val candNodes = cands.select(col("node_a").as("node"))
-      .unionByName(cands.select(col("node_b").as("node")))
-    sigs.select(col("node"), col("url"), col("extracted_text"))
-      .join(broadcast(candNodes), Seq("node"), "left_semi")
+  private def shingleSideOf(sigs: DataFrame, cands: DataFrame): DataFrame =
+    MinHashLsh.pruneToPairNodes(
+      sigs.select(col("node"), col("url"), col("extracted_text")), cands)
       .select(col("node"), col("url"),
         Hashing.shingleHashes(
           split(col("extracted_text"), " "), cfg.lsh.shingleSize, cfg.lsh.seed
         ).as("shingles"))
-  }
 
   private def bandsOf(sigs: DataFrame): DataFrame =
     sigs.where(col("minhash").isNotNull)
       .select(col("node"),
         explode(Hashing.bandKeys(col("minhash"), cfg.lsh.bands, cfg.lsh.rowsPerBand)).as("key"))
 
-  /** Fold one new batch into the state. */
-  def step(state: State, newPages: DataFrame): State = {
-    val newSigs = signaturesOf(newPages)
+  /** Fold one new batch into the state.
+    *
+    * Id-identity dedup (re-crawl): a node id already in the stored corpus
+    * is the same document — re-ingesting it folds as a NO-OP. Without the
+    * novelty filter below, an already-labeled node re-entering via the
+    * batch would get a SECOND, conflicting label row (`untouched` keeps its
+    * old component while `relabeled` assigns a fresh one).
+    *
+    * Crash replay (table-backed + `batchId`): the novel-node set is pinned
+    * to a sidecar BEFORE any append, and each bucketed append sets a done
+    * flag after it lands — so re-running a fold that died mid-append
+    * re-appends exactly the missing table(s) with byte-identical rows
+    * (newSigs/newBands are deterministic in the batch) and duplicates
+    * nothing. Replay is for folds whose [[saveState]] did NOT complete;
+    * replaying a fully-saved fold re-merges its key counts (conservative:
+    * hot-key caps trip earlier, never later). Without `batchId` the novel
+    * set is pinned via an eager cache instead — correct for the normal
+    * path, but a mid-append crash then requires a fresh state dir.
+    */
+  def step(state: State, newPages: DataFrame, batchId: Option[String] = None): State = {
+    val rawSigs = signaturesOf(newPages)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ledger = for { ck <- checkpoints; id <- batchId } yield (ck, s"inc_batch_$id")
+
+    // Novelty must be pinned BEFORE the appends below mutate the stored
+    // table — a lazy anti-join would see the batch's own appended rows at
+    // scan time and self-cancel every node.
+    val storedNodes = checkpoints.flatMap(_.bucketedTable("sigs_index"))
+      .getOrElse(state.signatures).select("node")
+    val novel = rawSigs.join(storedNodes, Seq("node"), "left_anti")
+    val newSigs = ledger match {
+      case Some((ck, key)) =>
+        val pinned = ck.sideTable(s"${key}_nodes")
+          .getOrElse(ck.writeSideTable(s"${key}_nodes", novel.select("node")))
+        rawSigs.join(pinned, Seq("node"), "left_semi")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      case None if checkpoints.isDefined =>
+        // A persist+count pin is NOT enough here: the bucketed append below
+        // fires recacheByPlan on every cache entry referencing the table,
+        // RECOMPUTING the anti-join against the post-append table — which
+        // self-cancels every node. localCheckpoint cuts the plan to a
+        // LogicalRDD with no table reference, immune to the refresh.
+        novel.localCheckpoint(true)
+      case None =>
+        // in-memory state frames are stable snapshots (localCheckpoint of
+        // the previous fold), so laziness is safe
+        novel.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
     val newStateSigs = newSigs.select("node", "url", "extracted_text")
     // table-backed state: signatures append to a node-bucketed table like
     // the band index — the stored corpus is never re-materialized per fold
     // (the in-memory union + localCheckpoint below IS ∝ corpus; it exists
     // for tests and small corpora only)
     val allSigs = checkpoints match {
-      case Some(ck) => ck.bucketedAppend("sigs_index", newStateSigs, "node", bandBuckets)
+      case Some(ck) =>
+        val done = ledger.exists { case (c, key) => c.flag(s"${key}_sigs") }
+        val t = if (done) ck.bucketedTable("sigs_index").get
+          else ck.bucketedAppend("sigs_index", newStateSigs, "node", bandBuckets)
+        ledger.foreach { case (c, key) => c.setFlag(s"${key}_sigs") }
+        t
       case None => state.signatures.unionByName(newStateSigs)
     }
 
@@ -136,7 +186,12 @@ final class IncrementalDedup(spark: SparkSession, cfg: GraftConfig = GraftConfig
     // and join against THAT (pre-partitioned scan, no stored-side shuffle);
     // in-memory fallback unions onto the previous state's frame.
     val allBands = checkpoints match {
-      case Some(ck) => ck.bucketedAppend("bands_index", newBands, "key", bandBuckets)
+      case Some(ck) =>
+        val done = ledger.exists { case (c, key) => c.flag(s"${key}_bands") }
+        val t = if (done) ck.bucketedTable("bands_index").get
+          else ck.bucketedAppend("bands_index", newBands, "key", bandBuckets)
+        ledger.foreach { case (c, key) => c.setFlag(s"${key}_bands") }
+        t
       case None => state.bands.unionByName(newBands)
     }
     val hot = keyCounts.where(col("n") > cfg.lsh.maxBucketSize).select("key")
@@ -145,9 +200,13 @@ final class IncrementalDedup(spark: SparkSession, cfg: GraftConfig = GraftConfig
     // index (+ the batch itself) — the only band-key work ∝ batch size
     val cands = candidateJoin(newBands, allBands, hot)
 
+    // persisted: the verify join (the dominant per-pair CPU) feeds THREE
+    // subplans — touchedComponents, affectedNodes via union, allEdges —
+    // and Spark shares no common subplans without a cache
     val newEdges = MinHashLsh.verify(cands, shingleSideOf(allSigs, cands), cfg)
       .where(col("exact_jaccard") >= cfg.lsh.jaccardThreshold)
       .select(col("node_a").as("src"), col("node_b").as("dst"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val allEdges = state.edges.unionByName(newEdges).dropDuplicates("src", "dst")
 
     // components touched by a new edge or containing a new node

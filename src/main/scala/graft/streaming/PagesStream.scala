@@ -145,7 +145,10 @@ object PagesStream {
     * `LongAccumulator` registered on this session's SparkContext) and every
     * node a full bucket turns away increments it — the operational signal
     * that a hot key is degrading recall and `maxBucketSize` (or upstream
-    * boilerplate filtering) needs attention.
+    * boilerplate filtering) needs attention. The count is AT-LEAST-ONCE:
+    * accumulators updated inside a transformation re-add on task retry /
+    * speculative duplicates, so read it as a "hot key is dropping" alarm
+    * with approximate magnitude, not an exact ledger.
     */
   def candidatePairStream(
       spark: SparkSession,

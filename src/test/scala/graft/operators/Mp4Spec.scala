@@ -136,6 +136,28 @@ class Mp4Spec extends SparkSpec {
   }
 
 
+  test("hostile stsz headers degrade to None, never a header-sized allocation") {
+    def patchStsz(uniform: Long, count: Long): Array[Byte] = {
+      val b = Mp4.encode(32, 24, Seq(10, 20, 30)).clone()
+      val at = indexOfSeq(b, "stsz".getBytes("ISO-8859-1"))
+      assert(at > 0)
+      def putU32(off: Int, v: Long): Unit = {
+        b(off) = ((v >>> 24) & 0xff).toByte; b(off + 1) = ((v >>> 16) & 0xff).toByte
+        b(off + 2) = ((v >>> 8) & 0xff).toByte; b(off + 3) = (v & 0xff).toByte
+      }
+      putU32(at + 8, uniform)  // sample_size (0 = per-sample table follows)
+      putU32(at + 12, count)   // sample_count
+      b
+    }
+    // allocation bomb: 16M uniform samples declared by a ~300-byte payload —
+    // must return None BEFORE sizing any array off the header field
+    assert(Mp4.demux(patchStsz(uniform = 1L, count = 0xffffffL)).isEmpty)
+    // sign wrap: uniform size >= 2^31 must not become a negative Int feature
+    assert(Mp4.demux(patchStsz(uniform = 0x80000000L, count = 3L)).isEmpty)
+    // count past the u32 sanity cap
+    assert(Mp4.demux(patchStsz(uniform = 1L, count = 0x10000001L)).isEmpty)
+  }
+
   private def indexOfSeq(hay: Array[Byte], needle: Array[Byte]): Int = {
     var i = 0
     while (i + needle.length <= hay.length) {

@@ -74,6 +74,16 @@ class UrlOpsSpec extends SparkSpec {
     assert(Psl.registeredDomain(".example.com") == "") // empty label
   }
 
+  test("Psl: IDN rules match punycode hosts (A-label forms stored at load)") {
+    import graft.functions.Psl
+    // the list carries `公司.cn` as a U-label rule; crawled URLs carry the
+    // host as punycode — both spellings must hit the same registry rule
+    val puny = java.net.IDN.toASCII("公司.cn") // xn--55qx5d.cn
+    assert(Psl.registeredDomain(s"shop.$puny") == s"shop.$puny")
+    assert(Psl.registeredDomain(puny) == "") // the suffix itself: unregistrable
+    assert(Psl.registeredDomain("shop.公司.cn") == "shop.公司.cn")
+  }
+
   test("pathDepth of root and empty paths is 0") {
     val got = Seq("https://example.com/", "https://example.com")
       .toDF("u").select(UrlOps.pathDepth($"u")).as[Int].collect().toSeq

@@ -42,4 +42,19 @@ class AuditLogSpec extends SparkSpec {
     assert(log.history().columns.toSeq == Seq("run_id", "seq", "action", "details"))
     assert(log.history().count() == 0)
   }
+
+  test("a new instance resuming the same run_id continues seq instead of reusing it") {
+    val dir = Files.createTempDirectory("graft_audit_resume").toString + "/audit"
+    val log1 = new AuditLog(spark, dir)
+    val audit = Seq(("split", 2L)).toDF("action", "node")
+    log1.append(audit, runId = "run-9")
+    log1.append(audit, runId = "run-9")
+
+    val log2 = new AuditLog(spark, dir) // fresh session/instance, same run
+    log2.append(audit, runId = "run-9")
+    val rows = log2.history().select("run_id", "seq")
+      .as[(String, Long)].collect().toSeq
+    assert(rows.map(_._2).sorted == Seq(0L, 1L, 2L), s"seq must continue: $rows")
+    assert(rows.distinct.length == rows.length, "duplicate (run_id, seq) pair")
+  }
 }

@@ -147,4 +147,14 @@ class DedupPipelineSpec extends SparkSpec {
     val again = ck.stage("s1") { pages.limit(10).select($"url") }
     assert(again.count() == 10 && ck.isComplete("s1"))
   }
+
+  test("stage memoization is bound to one input: a second corpus fails fast") {
+    val p = new DedupPipeline(spark)
+    val corpusA = PagesGen.pages(spark, 20L).toDF()
+    val corpusB = spark.range(100L, 120L).map(id => PagesGen.pageOf(42L, id)).toDF()
+    p.extracted(corpusA).count()
+    val e = intercept[IllegalArgumentException](p.extracted(corpusB))
+    assert(e.getMessage.contains("different input"))
+    p.unpersistAll()
+  }
 }

@@ -178,4 +178,69 @@ class IncrementalDedupSpec extends SparkSpec {
       conf.set("spark.sql.autoBroadcastJoinThreshold", bc)
     }
   }
+
+  test("re-ingesting an already-known node id is a no-op, never a second label row") {
+    val cfg = GraftConfig.default
+    val inc = new IncrementalDedup(spark, cfg)
+    val batchA = PagesGen.pages(spark, 80L).toDF()
+    // batch B re-crawls 30 of A's pages (same urls → same node ids) plus
+    // 40 genuinely new ones
+    val recrawl = spark.range(0L, 30L).map(id => PagesGen.pageOf(42L, id)).toDF()
+    val fresh = spark.range(80L, 120L).map(id => PagesGen.pageOf(42L, id)).toDF()
+    val s1 = inc.step(inc.emptyState, batchA)
+    val s2 = inc.step(s1, recrawl.unionByName(fresh))
+
+    val labels = s2.labels.as[(Long, Long)].collect()
+    assert(labels.map(_._1).distinct.length == labels.length,
+      "a re-crawled node produced duplicate label rows")
+    // equal to folding only the fresh pages (the re-crawl contributed nothing)
+    val onlyFresh = inc.step(s1, fresh).labels.as[(Long, Long)].collect().toMap
+    assert(labels.toMap == onlyFresh, "re-crawled nodes changed the fold result")
+    assert(s2.signatures.groupBy("node").count().where($"count" > 1).isEmpty,
+      "re-crawled node duplicated in the signature store")
+  }
+
+  test("batch ledger: replaying a completed fold with the same batchId appends nothing twice") {
+    val cfg = GraftConfig.default
+    val wd = java.nio.file.Files.createTempDirectory("graft_inc_ledger").toString
+    val ck = new Checkpoints(spark, wd, "ledger-hash")
+    val inc = new IncrementalDedup(spark, cfg, Some(ck), bandBuckets = 8)
+    val batchA = PagesGen.pages(spark, 100L).toDF()
+    val s1 = inc.step(inc.emptyState, batchA, batchId = Some("b1"))
+    val (sig1, band1) = (s1.signatures.count(), s1.bands.count())
+    val labels1 = s1.labels.as[(Long, Long)].collect().toMap
+
+    // crash-replay: same batch, same id — the done flags skip both appends
+    // and the pinned novel-node sidecar reproduces the same newSigs set
+    val s1r = inc.step(inc.emptyState, batchA, batchId = Some("b1"))
+    assert(s1r.signatures.count() == sig1, "replay double-appended the signature store")
+    assert(s1r.bands.count() == band1, "replay double-appended the band index")
+    assert(s1r.labels.as[(Long, Long)].collect().toMap == labels1,
+      "replayed fold diverged from the original")
+  }
+
+  test("bucketed tables are config-keyed in location: a config change never mixes rows") {
+    val wd = java.nio.file.Files.createTempDirectory("graft_ck_cfg").toString
+    import spark.implicits._
+    val ckA = new Checkpoints(spark, wd, "cfg-A")
+    val ckB = new Checkpoints(spark, wd, "cfg-B")
+    ckA.bucketedAppend("idx", Seq((1L, 10L), (2L, 20L)).toDF("key", "node"), "key", 4)
+    val tb = ckB.bucketedAppend("idx", Seq((3L, 30L)).toDF("key", "node"), "key", 4)
+    assert(tb.count() == 1, "config-B table must not see config-A rows")
+    assert(ckA.bucketedTable("idx").get.count() == 2, "config-A table was disturbed")
+  }
+
+  test("isComplete self-heals when the data dir is gone but the meta sidecar survives") {
+    val wd = java.nio.file.Files.createTempDirectory("graft_ck_heal").toString
+    import spark.implicits._
+    val ck = new Checkpoints(spark, wd, "heal-hash")
+    ck.stage("s")(Seq(1, 2, 3).toDF("v"))
+    assert(ck.isComplete("s"))
+    // partial cleanup: data dir deleted, meta sidecar left behind
+    val fs = new org.apache.hadoop.fs.Path(wd)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$wd/s"), true)
+    assert(!ck.isComplete("s"), "orphaned meta must not claim completeness")
+    assert(ck.stage("s")(Seq(1, 2, 3).toDF("v")).count() == 3, "stage must recompute")
+  }
 }
