@@ -363,7 +363,8 @@ object Bench {
     * one child with -Xms=-Xmx=min(24 g, 30% MemTotal), inheriting stdio
     * (the driver's raw last-line stdout parse is unaffected), env, cwd,
     * classpath, and every non-heap JVM flag (add-opens, -D props).
-    * Returns true when a child ran (parent must exit with its code).
+    * Returns Some(childExitCode) when a child ran (the parent must halt
+    * with that code); None when this JVM already has the target heap.
     */
   private def relaunchedWithBigHeap(args: Array[String]): Option[Int] = {
     val targetGb = {
@@ -391,6 +392,11 @@ object Bench {
   }
 
   def main(args: Array[String]): Unit = {
+    // every JSON number below is built with f"%.3f" interpolators, which
+    // format in the DEFAULT locale — a comma-decimal locale (de, fr, …)
+    // would emit "value":12,345 and zero the round's evidence with the
+    // exact parsed:null failure rounds 1-3 fought
+    java.util.Locale.setDefault(java.util.Locale.ROOT)
     relaunchedWithBigHeap(args).foreach(code => Runtime.getRuntime.halt(code))
     val wallStart = System.nanoTime()
     def elapsed: Double = (System.nanoTime() - wallStart) / 1e9
@@ -442,6 +448,7 @@ object Bench {
     val sidecar = sys.env.getOrElse("SPARK_GRAFT_BENCH_JSON", "bench_result.json")
     var queriesJson = "{}"
     var queriesJsonC = "{}"
+    var queriesJsonErr = "null"
     var totalQuerySecs = 0.0
     var dedupJson = "null"
     var scalingJson = "null"
@@ -452,10 +459,14 @@ object Bench {
     var probeJsonC = "null"
     val lastCompact = new java.util.concurrent.atomic.AtomicReference[String]("")
     def emit(): Unit = {
+      // query_errors appears only when a query failed (normally absent —
+      // keeps the compact line inside its size budget in the good case)
+      val errField =
+        if (queriesJsonErr == "null") "" else s""","query_errors":$queriesJsonErr"""
       val full =
-        f"""{"metric":"total","value":$totalQuerySecs%.3f,"unit":"sec","queries":$queriesJson,"sf":"$sfDir","dedup":$dedupJson,"scaling":$scalingJson,"scaling_saturated_spec":$scalingSatJson,"host_probe":$probeJson}"""
+        f"""{"metric":"total","value":$totalQuerySecs%.3f,"unit":"sec","queries":$queriesJson,"sf":"$sfDir","dedup":$dedupJson,"scaling":$scalingJson,"scaling_saturated_spec":$scalingSatJson,"host_probe":$probeJson$errField}"""
       val compact =
-        f"""{"metric":"total","value":$totalQuerySecs%.3f,"unit":"sec","queries":$queriesJsonC,"sf":"$sfDir","dedup":$dedupJson,"scaling":$scalingJsonC,"scaling_saturated_spec":$scalingSatJsonC,"host_probe":$probeJsonC,"detail":"$sidecar"}"""
+        f"""{"metric":"total","value":$totalQuerySecs%.3f,"unit":"sec","queries":$queriesJsonC,"sf":"$sfDir","dedup":$dedupJson,"scaling":$scalingJsonC,"scaling_saturated_spec":$scalingSatJsonC,"host_probe":$probeJsonC,"detail":"$sidecar"$errField}"""
       lastCompact.set(compact)
       println(full)
       println(compact)
@@ -512,18 +523,30 @@ object Bench {
         "\"" + k.takeWhile(_ != '_') + f"\":$v%.2f" }.mkString("{", ",", "}")
       totalQuerySecs = results.map(_._2).sum
     }
+    // Failed queries must be VISIBLE, not silently timed as their failure
+    // latency — a missing table would otherwise render as a fast-looking
+    // complete block (the opposite of the evidence-honesty discipline the
+    // transport fixes bought). Names land in the full JSON line + stderr.
+    val queryErrors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val benched = SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot { case (name, _) => verifyOnly(name) }
     benched.zipWithIndex.foreach { case ((name, fn), i) =>
       def once(): Double = {
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).write.mode("overwrite").format("noop").save() }
-        catch { case _: Throwable => () }
+        catch {
+          case e: Throwable =>
+            queryErrors(name) = e.getClass.getSimpleName
+            System.err.println(s"[bench] WARN query $name failed: $e")
+        }
         (System.nanoTime() - t0) / 1e9
       }
       results += name -> math.min(once(), once())
       if ((i + 1) % 10 == 0) { setQueryJson(); emit() } // kill mid-block keeps evidence
     }
+    if (queryErrors.nonEmpty)
+      queriesJsonErr = queryErrors
+        .map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }.mkString("{", ",", "}")
     setQueryJson()
     emit()
 

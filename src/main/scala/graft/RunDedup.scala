@@ -131,6 +131,15 @@ object RunDedup {
 
   def run(spark: SparkSession, a: Args): Map[String, Long] = {
     val t0 = System.nanoTime()
+    // fail fast on a missing/unreadable props file: GraftConfig.load
+    // silently skips a nonexistent path (and reads via java.nio, so only
+    // driver-LOCAL paths work) — a typo'd --config-props would otherwise
+    // run the whole job on defaults AND checkpoint under the wrong config
+    a.configProps.foreach { p =>
+      require(java.nio.file.Files.isReadable(java.nio.file.Paths.get(p)),
+        s"--config-props '$p' is not a readable driver-local file " +
+          "(properties files are read via java.nio; ship them with --files)")
+    }
     val cfg = GraftConfig.load(spark, a.configTable, a.configProps)
     val pages = readInput(spark, a.input)
     // the fingerprint exists only to invalidate checkpoints — without a
@@ -146,10 +155,9 @@ object RunDedup {
       writeOutput(result.labels, s"${a.output.stripSuffix("/")}_labels")
     }
 
-    val canon = spark.read
     val canonicalRows =
       if (a.output.startsWith("table:")) spark.table(a.output.stripPrefix("table:")).count()
-      else canon.parquet(a.output).count()
+      else spark.read.parquet(a.output).count()
     val stats = Map(
       "canonical_rows" -> canonicalRows,
       "wall_ms" -> (System.nanoTime() - t0) / 1000000L)

@@ -28,21 +28,6 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
-  /** documents ∪ near-duplicate variants: each doc gets a sibling
-    * (doc_id + 1,000,000) whose text carries a 3-token boilerplate prefix —
-    * cosmetic at shingle level (Jaccard ≳ 0.9), so MinHash/LSH must pair
-    * every (doc, variant). The expected pair set is therefore exactly
-    * SQL-expressible, giving the LSH pipeline a DuckDB oracle.
-    */
-  private def docsWithVariants(s: SparkSession, dir: String): DataFrame = {
-    val d = t(s, dir, "documents")
-    d.select(col("doc_id"), col("text"), col("lang"), col("source"))
-      .unionByName(d.select(
-        (col("doc_id") + 1000000L).as("doc_id"),
-        concat(lit("prefix boilerplate note "), col("text")).as("text"),
-        col("lang"), col("source")))
-  }
-
   /** documents ∪ exact-duplicate copies of every third doc (distinct ids) —
     * the exact-dedup fixture, same shape as the reference's duplicate event
     * files.
@@ -59,9 +44,17 @@ object SparkEntry {
     */
   def entry(spark: SparkSession): DataFrame = {
     val pages = PagesGen.pages(spark, 2000L).toDF()
-    new DedupPipeline(spark, cfg).run(pages)
+    val p = new DedupPipeline(spark, cfg)
+    // materialize the (small) result, then release the six MEMORY_AND_DISK
+    // stage caches — without this every entry()/q53 invocation pins a
+    // corpus of cached stages in the session's CacheManager for the rest
+    // of a Bench/Verify run
+    val out = p.run(pages)
       .where(col("source_count") >= 2)
       .select("canonical_url", "source_count", "member_urls", "text")
+      .localCheckpoint(true)
+    p.unpersistAll()
+    out
   }
 
   // =========================================================================
@@ -302,7 +295,13 @@ object SparkEntry {
       .unionByName(d.select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
       .select(col("doc_id"), col("text").as("extracted_text"), col("doc_id").as("url"))
     val sigs = MinHashLsh.signatures(corpus, cfg).withColumn("node", col("doc_id"))
-    MinHashLsh.simHashCandidates(sigs, cfg)
+    // uncapped: this gate proves SimHash pigeonhole SEMANTICS (every
+    // planted identical pair surfaces — the closed-form oracle), so the
+    // hot-bucket cap policy must not intersect it; a boilerplate-heavy
+    // block bucket crossing maxBucketSize would otherwise drop pairs the
+    // oracle rightly expects (cap behavior is spec'd via bucketStats)
+    val uncapped = cfg.copy(lsh = cfg.lsh.copy(maxBucketSize = Int.MaxValue))
+    MinHashLsh.simHashCandidates(sigs, uncapped)
       .where(col("node_b") - col("node_a") === 1000000L)
       .select(col("node_a").as("doc_id_a"), col("node_b").as("doc_id_b"))
   }
@@ -855,10 +854,16 @@ object SparkEntry {
       encode(concat(lit("<article>"), col("text"), lit("</article>")), "UTF-8").as("html"),
       col("text"),
       lit("en").as("lang"))
-    new DedupPipeline(s, cfg).run(pages)
+    val p = new DedupPipeline(s, cfg)
+    // materialize-then-release, as in entry(): stage caches must not
+    // outlive the query in a shared Bench/Verify session
+    val out = p.run(pages)
       .where(col("source_count") >= 2)
       .select(col("canonical_url"), col("source_count"),
         array_join(col("member_urls"), ",").as("members"))
+      .localCheckpoint(true)
+    p.unpersistAll()
+    out
   }
 
   /** Production form of q45 (round-3 verdict #6): per-lang quantiles via the
@@ -1423,7 +1428,10 @@ object SparkEntry {
         | coalesce(min(doc_id) FILTER (WHERE n_chars > 800), min(doc_id)) AS first_long_id
         | FROM documents GROUP BY source""".stripMargin,
     "q36_export_chunks" ->
-      """SELECT source, count(*) AS n_docs, CAST((count(*) + 199) / 200 AS BIGINT) AS n_chunks
+      // '//' (integer division): DuckDB's '/' on integers is FLOAT division
+      // and CAST rounds-half-even, so (n+199)/200 would ROUND where Spark
+      // truncates — wrong n_chunks for any count with (n-1) % 200 >= 100
+      """SELECT source, count(*) AS n_docs, (count(*) + 199) // 200 AS n_chunks
         | FROM documents GROUP BY source""".stripMargin,
     "q41_line_dedup" ->
       """WITH lines AS (

@@ -17,6 +17,9 @@ import java.nio.file.{Files, Paths, StandardOpenOption}
   */
 object Verify {
   def main(args: Array[String]): Unit = {
+    // progress lines format seconds with f"%.2f" — locale-proof the decimal
+    // separator so the jsonl stays machine-parseable on any host JVM
+    java.util.Locale.setDefault(java.util.Locale.ROOT)
     val Array(sfDir, outDir) = args
     new java.io.File(outDir).mkdirs()
 
@@ -64,9 +67,10 @@ object Verify {
         note(f"""{"query":"$name","ok":true,"secs":${(System.nanoTime() - t0) / 1e9}%.2f}""")
       } catch { case e: Throwable =>
         err += 1
-        val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
-          .replaceAll("[\"\\\\\\n\\r\\t]", " ").take(300)
-        note(f"""{"query":"$name","ok":false,"secs":${(System.nanoTime() - t0) / 1e9}%.2f,"err":"$msg"}""")
+        // q() escapes ALL control chars (not just \n\r\t) — an exception
+        // message carrying \b/\f/etc. must not break the jsonl forensics
+        val msg = q(Option(e.getMessage).getOrElse(e.getClass.getName).take(300))
+        note(f"""{"query":"$name","ok":false,"secs":${(System.nanoTime() - t0) / 1e9}%.2f,"err":$msg}""")
       }
     }
     note(s"""{"done":true,"ok":$ok,"err":$err,"total":${SparkEntry.queries.size}}""")

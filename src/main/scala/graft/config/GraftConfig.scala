@@ -134,7 +134,14 @@ object GraftConfig {
     def d(k: String, v: Double): Double = overrides.get(k).map(_.toDouble).getOrElse(v)
     def i(k: String, v: Int): Int = overrides.get(k).map(_.toInt).getOrElse(v)
     def l(k: String, v: Long): Long = overrides.get(k).map(_.toLong).getOrElse(v)
-    base.copy(
+    def titleSection(prefix: String, t: TitleConfig): TitleConfig = t.copy(
+      primaryWeight = d(s"$prefix.primary_weight", t.primaryWeight),
+      secondaryWeight = d(s"$prefix.secondary_weight", t.secondaryWeight),
+      blendLower = d(s"$prefix.blend_lower", t.blendLower),
+      blendUpper = d(s"$prefix.blend_upper", t.blendUpper))
+    val cfg = base.copy(
+      title = titleSection("title", base.title),
+      crossSourceTitle = titleSection("cross_source_title", base.crossSourceTitle),
       scoring = base.scoring.copy(
         date = d("scoring.date", base.scoring.date),
         geo = d("scoring.geo", base.scoring.geo),
@@ -180,6 +187,13 @@ object GraftConfig {
         minOverlapChars = i("overlap.min_overlap_chars", base.overlap.minOverlapChars),
         samplingMod = i("overlap.sampling_mod", base.overlap.samplingMod),
         seed = l("overlap.seed", base.overlap.seed)))
+    // Fail fast at config build, not per-row at runtime: BandKeys requires
+    // bands × rows_per_band ≤ num_hashes on EVERY row — an override that
+    // breaks the invariant would otherwise fail all tasks mid-job.
+    require(cfg.lsh.bands * cfg.lsh.rowsPerBand <= cfg.lsh.numHashes,
+      s"lsh.bands (${cfg.lsh.bands}) × lsh.rows_per_band (${cfg.lsh.rowsPerBand}) " +
+        s"must be ≤ lsh.num_hashes (${cfg.lsh.numHashes})")
+    cfg
   }
 
   /** Load overrides from a java.util.Properties file (the sandbox-portable
@@ -216,9 +230,13 @@ object GraftConfig {
       // fast — silently picking either would make two runs of the same
       // pipeline diverge on config.
       val df = spark.read.parquet(tablePath)
+      // a NULL or non-numeric version cell resolves as version 0 (lowest
+      // precedence) instead of NPEing in getLong below
       val withV =
         if (df.columns.contains("version"))
-          df.select(col("key"), col("value"), col("version").cast("long").as("v"))
+          df.select(col("key"), col("value"),
+            org.apache.spark.sql.functions
+              .coalesce(col("version").cast("long"), lit(0L)).as("v"))
         else df.select(col("key"), col("value"), lit(0L).as("v"))
       val rows = withV
         .where(col("key").isNotNull && col("value").isNotNull)

@@ -212,18 +212,23 @@ object PagesGen {
         val (a, b) = (PagesGen.urlOf(seed, dups(i)), PagesGen.urlOf(seed, dups(j)))
         if (a < b) TruthPair(a, b, "same") else TruthPair(b, a, "same")
       }
-      val extra =
-        if (gtype == 9 && base + 3 < n) {
-          val o = {
+      // each planted pair gates on ITS OWN members' existence: a corpus cut
+      // mid-group (base+1 < n ≤ base+3) still plants the overlap pages, so
+      // omitting their truth pair would count a correct detection as a
+      // false positive
+      val extra = if (gtype == 9) {
+        val o =
+          if (base + 1 < n) Seq {
             val (a, b) = (PagesGen.urlOf(seed, base), PagesGen.urlOf(seed, base + 1))
             if (a < b) TruthPair(a, b, "overlap") else TruthPair(b, a, "overlap")
-          }
-          val h = {
+          } else Seq.empty
+        val h =
+          if (base + 3 < n) Seq {
             val (a, b) = (PagesGen.urlOf(seed, base + 2), PagesGen.urlOf(seed, base + 3))
             if (a < b) TruthPair(a, b, "different") else TruthPair(b, a, "different")
-          }
-          Seq(o, h)
-        } else Seq.empty
+          } else Seq.empty
+        o ++ h
+      } else Seq.empty
       dupPairs ++ extra
     }
   }

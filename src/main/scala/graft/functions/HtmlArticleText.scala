@@ -47,13 +47,21 @@ object HtmlArticleText {
     // regexp_replace(body, "<[^>]*>", " "))
     val sb = new java.lang.StringBuilder(body.length)
     var i = 0
-    var inTag = false
+    var tagStart = -1
     while (i < body.length) {
       val c = body.charAt(i)
-      if (inTag) { if (c == '>') inTag = false }
-      else if (c == '<') { inTag = true; sb.append(' ') }
+      if (tagStart >= 0) { if (c == '>') tagStart = -1 }
+      else if (c == '<') { tagStart = i; sb.append(' ') }
       else sb.append(c)
       i += 1
+    }
+    // regex parity on an unclosed '<': "<[^>]*>" never matches a tag with
+    // no closing '>', so the '<' and everything after it stay verbatim —
+    // the walk must not silently swallow the document's tail (real crawl
+    // html has stray '<'s; the generator's escaped output never does)
+    if (tagStart >= 0) {
+      sb.setLength(sb.length - 1) // undo the space appended for that '<'
+      sb.append(body, tagStart, body.length)
     }
     // entity unescape, reference order: &lt; then &gt; then &amp;
     sb.toString.replace("&lt;", "<").replace("&gt;", ">").replace("&amp;", "&")

@@ -87,9 +87,16 @@ object Psl {
 
   def registeredDomain(host: String): String = {
     if (host == null || host.isEmpty) return ""
+    // IP addresses are not DNS names — the PSL does not apply. Without this
+    // guard an IPv4 host falls through to the implicit-* rule and every
+    // host sharing its last two octets collapses into one bogus
+    // "registered domain" ('10.0.0.1' and '192.168.0.1' → '0.1'). IPv6
+    // literals carry ':' (bracketed or not).
+    if (host.indexOf(':') >= 0) return ""
     val labels = host.split('.')
     val n = labels.length
     if (n == 0 || labels.exists(_.isEmpty)) return "" // leading/trailing dot
+    if (labels.forall(l => l.forall(_.isDigit))) return "" // IPv4 literal
     // suffix starting at label i
     def suffix(i: Int): String =
       if (i == n - 1) labels(n - 1)

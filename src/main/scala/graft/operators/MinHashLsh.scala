@@ -221,6 +221,28 @@ object MinHashLsh {
     when(uni === 0, 0.0).otherwise(inter / uni)
   }
 
+  /** Broadcast semi-join reduction shared by every verify consumer: prune a
+    * corpus-wide per-node `frame` to rows whose `node` appears in `pairs`
+    * (node_a/node_b) — only pair members can contribute to a pair join, so
+    * the frame's payload (shingle arrays, full text) must never cross the
+    * verify shuffle for non-candidate nodes.
+    *
+    * The broadcast collect scales with 2×|pairs| (node ids, ~16 B/row —
+    * duplicates per node included; the HashedRelation dedups only as it
+    * BUILDS, after the collect), NOT with doc count: hot-bucket caps keep
+    * per-doc pair degree O(1), so at 10^8 docs with degree ~1-2 this is
+    * hundreds of MB — near the practical broadcast ceiling. Beyond it,
+    * swap the hint for a shuffled or bloom semi-join — ONE place now.
+    * No `.distinct()` on the pair nodes: a pre-dedup is a full shuffle +
+    * stage barrier that costs more than the duplicate ids it removes
+    * until exactly the scale where the whole broadcast should be swapped.
+    */
+  def pruneToPairNodes(frame: DataFrame, pairs: DataFrame): DataFrame = {
+    val nodes = pairs.select(col("node_a").as("node"))
+      .unionByName(pairs.select(col("node_b").as("node")))
+    frame.join(broadcast(nodes), Seq("node"), "left_semi")
+  }
+
   /** Verify candidate pairs: join back to signatures (B4's pair→event lookup,
     * `matching/pipeline.py:117-125`) and score exact shingle Jaccard.
     *
@@ -231,22 +253,6 @@ object MinHashLsh {
     * the hot path intentionally skips the est diagnostic; pass a frame from
     * [[signatures]] directly to get it.
     */
-  /** Broadcast semi-join reduction shared by every verify consumer: prune a
-    * corpus-wide per-node `frame` to rows whose `node` appears in `pairs`
-    * (node_a/node_b) — only pair members can contribute to a pair join, so
-    * the frame's payload (shingle arrays, full text) must never cross the
-    * verify shuffle for non-candidate nodes. Node ids only cross the
-    * broadcast (a few MB even at 10^8 docs; beyond the broadcast budget
-    * swap the hint for a shuffled or bloom semi-join — ONE place now).
-    * No `.distinct()` on the pair nodes: the broadcast HashedRelation
-    * dedups keys while it builds; a pre-dedup would only add a shuffle.
-    */
-  def pruneToPairNodes(frame: DataFrame, pairs: DataFrame): DataFrame = {
-    val nodes = pairs.select(col("node_a").as("node"))
-      .unionByName(pairs.select(col("node_b").as("node")))
-    frame.join(broadcast(nodes), Seq("node"), "left_semi")
-  }
-
   def verify(candidates: DataFrame, sigs: DataFrame, cfg: GraftConfig): DataFrame = {
     val hasMinhash = sigs.columns.contains("minhash")
     if (hasMinhash) {

@@ -160,6 +160,11 @@ object Mp4 {
 
       var total = 0L
       sizes.foreach(total += _)
+      // the declared sample bytes must fit in the payload (they live in
+      // mdat): a 300-byte blob claiming terabytes of total_sample_bytes is
+      // corrupt metadata, and downstream partitioning/frame-sampling
+      // decisions key off this number
+      if (total > payload.length) return None
       Some(Mp4Info(brand.get, w, h, durationMs, nSamples.toInt, total, sizes))
     } catch { case _: Exception => None }
   }

@@ -126,9 +126,14 @@ object EventIngest {
     * (file_processor.py:187-196 semantics without a driver loop).
     * Input `withHash` must carry `file_hash`; `ledger` has one column
     * `file_hash`.
+    *
+    * No broadcast hint: the ledger grows without bound across runs (every
+    * ingested file forever), so forcing it driver-side would eventually OOM
+    * the driver — the planner broadcasts it while its stats are small and
+    * falls back to a shuffled anti-join once it isn't.
     */
   def skipIngested(files: DataFrame, ledger: DataFrame): DataFrame =
-    files.join(broadcast(ledger.select("file_hash").distinct()), Seq("file_hash"), "left_anti")
+    files.join(ledger.select("file_hash").distinct(), Seq("file_hash"), "left_anti")
 
   /** File hash column for a frame carrying the raw file bytes/text. */
   def fileHash(content: org.apache.spark.sql.Column): org.apache.spark.sql.Column =

@@ -40,9 +40,13 @@ object PagesStream {
         val extracted = batch.select(
           col("url"), col("warc_ts"), col("lang"),
           TextFunctions.extractText(col("html")).as("extracted_text"))
+        // idempotent replay: foreachBatch is at-least-once (a batch whose
+        // write landed but whose checkpoint commit didn't re-runs on
+        // restart), so each batch OVERWRITES its own batch_id partition —
+        // a blind `append` would duplicate every row of the replayed batch
         MinHashLsh.signatures(extracted, cfg)
-          .withColumn("batch_id", lit(batchId))
-          .write.mode("append").parquet(outputDir)
+          .write.mode("overwrite")
+          .parquet(s"$outputDir/batch_id=$batchId")
       }
 
     val triggered = if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer
@@ -163,7 +167,13 @@ object PagesStream {
     import spark.implicits._
     val ttlMs = org.apache.spark.sql.catalyst.util.IntervalUtils
       .stringToInterval(org.apache.spark.unsafe.types.UTF8String.fromString(stateTtl))
+    // months have no fixed millisecond length — reject rather than silently
+    // dropping them from the TTL (a "1 month" TTL would otherwise become 0
+    // and expire every bucket at the watermark)
+    require(ttlMs.months == 0,
+      s"stateTtl '$stateTtl' uses months — express the TTL in days or smaller units")
     val ttlMillis = ttlMs.days * 86400000L + ttlMs.microseconds / 1000L
+    require(ttlMillis > 0, s"stateTtl '$stateTtl' must be positive")
     val maxBucket = cfg.lsh.maxBucketSize
     val pages = spark.readStream
       .schema("url STRING, warc_ts TIMESTAMP, html BINARY, text STRING, lang STRING")
@@ -194,8 +204,9 @@ object PagesStream {
             val seenSet = scala.collection.mutable.HashSet.empty[Long]
             seenSet ++= seen
             var dropped = 0L
+            val batch = rows.toSeq
             val out = Seq.newBuilder[(Long, Long)]
-            for (r <- rows.toSeq.sortBy(_.node); if !seenSet.contains(r.node)) {
+            for (r <- batch.sortBy(_.node); if !seenSet.contains(r.node)) {
               if (seenSet.size < maxBucket) {
                 out ++= seen.map(o =>
                   (math.min(o, r.node), math.max(o, r.node)))
@@ -205,9 +216,14 @@ object PagesStream {
             }
             state.update(seen)
             if (dropped > 0L) droppedCounter.foreach(_.add(dropped))
-            // expire this bucket's state one TTL past the current watermark
-            if (state.getCurrentWatermarkMs() > 0)
-              state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + ttlMillis)
+            // expire this bucket's state one TTL past the watermark. In the
+            // FIRST micro-batch the watermark is still 0 — a key created
+            // there that never recurs would otherwise carry state forever
+            // (no timeout ever registered), so anchor on the batch's own
+            // max event time as the watermark's stand-in.
+            val anchor = math.max(state.getCurrentWatermarkMs(),
+              batch.iterator.map(_.ts.getTime).max)
+            state.setTimeoutTimestamp(anchor + ttlMillis)
             out.result().iterator
           }
         })

@@ -28,7 +28,8 @@ class GraftConfigSpec extends AnyFunSuite {
 
   test("config hash changes with any override and is stable otherwise") {
     val a = GraftConfig.default.configHash
-    val b = GraftConfig.fromMap(Map("lsh.bands" -> "32")).configHash
+    val b = GraftConfig.fromMap(
+      Map("lsh.bands" -> "32", "lsh.rows_per_band" -> "4")).configHash
     assert(a != b)
     assert(a == GraftConfig().configHash)
   }
@@ -40,7 +41,7 @@ class GraftConfigSpec extends AnyFunSuite {
     // "YAML" layer (properties file): sets threshold 0.7 and bands 32
     val props = dir.resolve("matching.properties")
     java.nio.file.Files.write(props,
-      "lsh.jaccard_threshold=0.7\nlsh.bands=32\n".getBytes)
+      "lsh.jaccard_threshold=0.7\nlsh.bands=32\nlsh.rows_per_band=4\n".getBytes)
     // "DB" layer (kv table): overrides threshold only
     val table = dir.resolve("config_overrides").toString
     Seq(("lsh.jaccard_threshold", "0.65")).toDF("key", "value")
@@ -61,5 +62,34 @@ class GraftConfigSpec extends AnyFunSuite {
     Seq(("lsh.jaccard_threshold", "0.6")).toDF("key", "value")
       .write.mode("overwrite").parquet(table)
     assert(GraftConfig.load(spark, Some(table), Some(props.toString)).lsh.jaccardThreshold == 0.6)
+  }
+
+  test("title sections are overridable like every other section") {
+    val cfg = GraftConfig.fromMap(Map(
+      "title.primary_weight" -> "0.5",
+      "cross_source_title.blend_upper" -> "0.9"))
+    assert(cfg.title.primaryWeight == 0.5)
+    assert(cfg.title.secondaryWeight == GraftConfig.default.title.secondaryWeight)
+    assert(cfg.crossSourceTitle.blendUpper == 0.9)
+  }
+
+  test("lsh banding invariant fails fast at config build, not per-row at runtime") {
+    val e = intercept[IllegalArgumentException](
+      GraftConfig.fromMap(Map("lsh.bands" -> "32"))) // 32*8=256 > 128 hashes
+    assert(e.getMessage.contains("num_hashes"))
+    // consistent override passes
+    val ok = GraftConfig.fromMap(Map("lsh.bands" -> "32", "lsh.rows_per_band" -> "4"))
+    assert(ok.lsh.bands == 32 && ok.lsh.rowsPerBand == 4)
+  }
+
+  test("table overrides tolerate a NULL version cell (resolves as version 0)") {
+    val spark = graft.SparkSpec.session
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_cfg_nullv").toString + "/cfg"
+    Seq(("thresholds.high", "0.9", Some(2L)), ("thresholds.high", "0.8", None))
+      .toDF("key", "value", "version")
+      .write.parquet(dir)
+    val cfg = GraftConfig.fromTable(spark, dir)
+    assert(cfg.thresholds.high == 0.9, "highest non-null version must win")
   }
 }

@@ -156,6 +156,9 @@ class Mp4Spec extends SparkSpec {
     assert(Mp4.demux(patchStsz(uniform = 0x80000000L, count = 3L)).isEmpty)
     // count past the u32 sanity cap
     assert(Mp4.demux(patchStsz(uniform = 1L, count = 0x10000001L)).isEmpty)
+    // payload-unjustifiable totals: 3 × (2^31 - 1) ≈ 6.4 GB declared by a
+    // ~300-byte blob must not flow into total_sample_bytes
+    assert(Mp4.demux(patchStsz(uniform = 0x7fffffffL, count = 3L)).isEmpty)
   }
 
   private def indexOfSeq(hay: Array[Byte], needle: Array[Byte]): Int = {

@@ -84,6 +84,16 @@ class UrlOpsSpec extends SparkSpec {
     assert(Psl.registeredDomain("shop.公司.cn") == "shop.公司.cn")
   }
 
+  test("Psl: IP-address hosts are unregistrable, never grouped by last octets") {
+    import graft.functions.Psl
+    assert(Psl.registeredDomain("10.0.0.1") == "")
+    assert(Psl.registeredDomain("192.168.0.1") == "")
+    assert(Psl.registeredDomain("[2001:db8::1]") == "")
+    assert(Psl.registeredDomain("2001:db8::1") == "")
+    // all-digit LABELS inside a real domain are fine
+    assert(Psl.registeredDomain("123.example.com") == "example.com")
+  }
+
   test("pathDepth of root and empty paths is 0") {
     val got = Seq("https://example.com/", "https://example.com")
       .toDF("u").select(UrlOps.pathDepth($"u")).as[Int].collect().toSeq
