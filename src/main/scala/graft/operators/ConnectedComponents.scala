@@ -100,6 +100,16 @@ object ConnectedComponents {
       }
     }
 
+    // Labels below assume the star invariant, which only holds AFTER
+    // convergence — deriving them from a non-converged edge set would
+    // silently label one true component as several (under-merge). Fail
+    // loud instead; 50 default rounds is far beyond any real graph's
+    // contraction depth, so hitting this means something is wrong.
+    if (!converged)
+      throw new IllegalStateException(
+        s"connected components did not converge within $maxIterations rounds; " +
+          "raise maxIterations (or driverFinishEdges for a bounded local finish)")
+
     // After convergence every edge is (node > min) -> min: the star. Labels:
     val nodeToMin = e.select($"src".as("node"), $"dst".as("component"))
       .union(e.select($"dst".as("node"), $"src".as("component")))

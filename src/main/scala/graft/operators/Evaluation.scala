@@ -24,11 +24,28 @@ object Evaluation {
     * TP = same∧predicted, FP = different∧predicted, FN = same∧¬predicted,
     * TN = different∧¬predicted.
     */
+  /** Reference parity (metrics.py:35-83): pairs are UNORDERED — both sides
+    * normalize to (min, max) orientation before the equi-join, so a
+    * prediction stored as (b, a) still matches truth (a, b) instead of
+    * silently counting as a false negative. 2-key form only; callers with
+    * custom keys own their orientation.
+    */
+  private def canonPairs(df: DataFrame, keys: Seq[String]): DataFrame =
+    if (keys.length != 2) df
+    else {
+      val (ka, kb) = (keys.head, keys(1))
+      df.withColumn("__ka", least(col(ka), col(kb)))
+        .withColumn("__kb", greatest(col(ka), col(kb)))
+        .drop(ka, kb)
+        .withColumnRenamed("__ka", ka)
+        .withColumnRenamed("__kb", kb)
+    }
+
   def pairMetrics(predicted: DataFrame, truth: DataFrame,
       keys: Seq[String] = Seq("url_a", "url_b")): DataFrame = {
-    val pred = predicted.select(keys.map(col): _*).distinct()
+    val pred = canonPairs(predicted, keys).select(keys.map(col): _*).distinct()
       .withColumn("__pred", lit(true))
-    truth.join(pred, keys, "left")
+    canonPairs(truth, keys).join(pred, keys, "left")
       .withColumn("__pred", coalesce(col("__pred"), lit(false)))
       .agg(
         count(when(col("label") === "same" && col("__pred"), 1)).as("tp"),
@@ -64,10 +81,10 @@ object Evaluation {
     // would otherwise multiply its truth row and inflate every confusion
     // cell — pairMetrics applies the same one-row-per-pair (distinct)
     // semantics before joining.
-    val sc = scored.select((keys.map(col) :+ col("score")): _*)
+    val sc = canonPairs(scored.select((keys.map(col) :+ col("score")): _*), keys)
       .groupBy(keys.map(col): _*)
       .agg(max(col("score")).as("score"))
-    truth.join(sc, keys, "left")
+    canonPairs(truth, keys).join(sc, keys, "left")
       .crossJoin(grid)
       .withColumn("__pred", col("score").isNotNull && col("score") >= col("threshold"))
       .groupBy("threshold")

@@ -104,7 +104,11 @@ object Scorers {
     val dlon = radians(lonB - lonA)
     val a = pow(sin(dlat / 2), 2) +
       cos(radians(latA)) * cos(radians(latB)) * pow(sin(dlon / 2), 2)
-    lit(r) * lit(2.0) * atan2(sqrt(a), sqrt(lit(1.0) - a))
+    // clamp: fp rounding can push `a` to 1 + 2e-16 near antipodes, making
+    // sqrt(1-a) NaN — and a NaN score would satisfy `score >= high` under
+    // Spark's NaN-is-greatest ordering, silently auto-merging the pair
+    val aC = least(lit(1.0), greatest(lit(0.0), a))
+    lit(r) * lit(2.0) * atan2(sqrt(aC), sqrt(lit(1.0) - aC))
   }
 
   /** Venue-name factor: fuzzy token_sort on lowercased names within close
@@ -183,8 +187,16 @@ object Scorers {
       descA: Column, shortDescA: Column,
       descB: Column, shortDescB: Column
   ): Column = {
-    val da = trim(coalesce(descA, shortDescA, lit("")))
-    val db = trim(coalesce(descB, shortDescB, lit("")))
+    // Python-`or` parity (desc_scorer.py:21-22): the fallback fires on
+    // FALSY (null or empty string), not just null — `coalesce` would let
+    // an empty-string description mask a populated short_description.
+    // The reference strips AFTER the fallback chain, mirrored here.
+    def pick(d: Column, sd: Column): Column =
+      trim(when(d.isNotNull && length(d) > 0, d)
+        .when(sd.isNotNull && length(sd) > 0, sd)
+        .otherwise(lit("")))
+    val da = pick(descA, shortDescA)
+    val db = pick(descB, shortDescB)
     when(length(da) === 0 && length(db) === 0, 0.5)
       .when(length(da) === 0 || length(db) === 0, 0.4)
       .otherwise(FuzzKernels.token_sort_ratio(da, db))

@@ -196,9 +196,12 @@ object Similarity {
       element_at(nearestCells(col(vecCol), cents, 1), 1).as("cell"))
     val qb = queries.select(col(idCol).as("query_id"), col(vecCol).as("vec_q"),
       explode(nearestCells(col(vecCol), cents, math.min(nprobe, cents.length))).as("cell"))
+    // no dedup needed (unlike lshTopK's multi-table collisions): each
+    // corpus vector sits in exactly ONE cell and a query's probed cells are
+    // distinct, so a (query, neighbor) pair matches on at most one cell —
+    // a dropDuplicates here would be a full extra shuffle for zero effect
     val cands = cb.join(qb, "cell")
       .where(col("query_id") =!= col("neighbor_id"))
-      .dropDuplicates("query_id", "neighbor_id")
       .withColumn("cosine", cosineFused(col("vec_q"), col("vec_c")))
     val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
     cands.withColumn("rank", row_number().over(w))
@@ -335,20 +338,17 @@ case class CosineLshKeys(child: Expression, tables: Int, bitsPerTable: Int, seed
     val v = new Array[Double](dim)
     var i = 0
     while (i < dim) { v(i) = arr.getFloat(i).toDouble; i += 1 }
+    val planes = CosineLshKeys.planesFor(seed, tables, bitsPerTable, dim)
     val out = new Array[Long](tables)
     var t = 0
     while (t < tables) {
       var key = 0L
       var b = 0
       while (b < bitsPerTable) {
-        val rnd = new java.util.SplittableRandom(seed ^ (t.toLong << 32) ^ b.toLong)
+        val w = planes(t * bitsPerTable + b)
         var s = 0.0
         i = 0
-        while (i < dim) {
-          // sum of two uniforms - 1 ≈ cheap symmetric weight; direction-valid for LSH
-          s += (rnd.nextDouble() + rnd.nextDouble() - 1.0) * v(i)
-          i += 1
-        }
+        while (i < dim) { s += w(i) * v(i); i += 1 }
         if (s > 0) key |= (1L << b)
         b += 1
       }
@@ -361,4 +361,37 @@ case class CosineLshKeys(child: Expression, tables: Int, bitsPerTable: Int, seed
   override protected def withNewChildInternal(newChild: Expression): CosineLshKeys =
     copy(child = newChild)
   override def prettyName: String = "cosine_lsh_keys"
+}
+
+object CosineLshKeys {
+  /** Hyperplane weights are a pure function of (seed, table, bit, dim):
+    * build the plane matrix ONCE per executor JVM instead of redrawing
+    * ~2·dim uniforms per (row, table, bit) — the RNG work dominated the
+    * sketch at corpus scale. Same SplittableRandom stream as the previous
+    * inline draw, so every emitted key is byte-identical.
+    * Memory: tables·bits·dim doubles (8·16·768 ≈ 0.8 MB per config).
+    */
+  private val planes = new java.util.concurrent.ConcurrentHashMap[
+    (Long, Int, Int, Int), Array[Array[Double]]]()
+
+  private[operators] def planesFor(
+      seed: Long, tables: Int, bits: Int, dim: Int): Array[Array[Double]] =
+    planes.computeIfAbsent((seed, tables, bits, dim), _ => {
+      val out = new Array[Array[Double]](tables * bits)
+      var t = 0
+      while (t < tables) {
+        var b = 0
+        while (b < bits) {
+          val rnd = new java.util.SplittableRandom(seed ^ (t.toLong << 32) ^ b.toLong)
+          val w = new Array[Double](dim)
+          var i = 0
+          // sum of two uniforms - 1 ≈ cheap symmetric weight; direction-valid for LSH
+          while (i < dim) { w(i) = rnd.nextDouble() + rnd.nextDouble() - 1.0; i += 1 }
+          out(t * bits + b) = w
+          b += 1
+        }
+        t += 1
+      }
+      out
+    })
 }

@@ -136,7 +136,9 @@ object Synthesis {
         // collect_set stays one-pass/map-side-combinable — set size is
         // bounded by the crawl-day span, not cluster size.
         size(collect_set(to_date(col("warc_ts")))).cast("long").as("distinct_days"),
-        selectUnionLists(array(col("lang"))).as("langs"),
+        // filter: array(null) is a non-null [null] element that would
+        // survive the union-lists aggregate and emit nulls INSIDE langs
+        selectUnionLists(filter(array(col("lang")), _.isNotNull)).as("langs"),
         graft.functions.CollectMinK.collectMinK(col("url"), k).as("member_urls")
       )
     // One row per url on the fetch side: the aggregate above can never emit
@@ -148,9 +150,17 @@ object Synthesis {
     // broadcast-joinable agg side (small cluster count vs big corpus — a
     // shape the pipeline never produces) would pay an exchange it could
     // otherwise have skipped.
+    // max_by longest (ties by text value), NOT dropDuplicates: a dirty
+    // ingest with one url at two lengths must deterministically fetch the
+    // text whose length won the __win_url selection above — an arbitrary
+    // survivor could emit the short recrawl despite the url winning for
+    // being longest. Same Exchange on __wurl either way.
     val textFrame = texts.getOrElse(labeled)
       .select(col("url").as("__wurl"), col("extracted_text"))
-      .dropDuplicates("__wurl")
+      .groupBy("__wurl")
+      .agg(max_by(col("extracted_text"),
+        struct(length(coalesce(col("extracted_text"), lit(""))).as("l"),
+          coalesce(col("extracted_text"), lit("")).as("t"))).as("extracted_text"))
     agg
       .join(textFrame, agg("__win_url") === textFrame("__wurl"), "left")
       .select(
@@ -368,16 +378,35 @@ object Synthesis {
     * write — only the join, no global rebuild.
     */
   def enrich(existing: DataFrame, fresh: DataFrame, key: String, textFields: Seq[String]): DataFrame = {
+    // when both sides carry per-field provenance, a KEPT existing value
+    // restores its existing provenance entry too (enrichment.py:51-57) —
+    // otherwise the output would claim the fresh source contributed a
+    // field whose fresh value was discarded
+    val hasProv = existing.columns.contains("field_provenance") &&
+      fresh.columns.contains("field_provenance")
     val ex = existing.select((Seq(col(key)) ++
-      textFields.map(f => col(f).as(s"${f}__old")) :+ col("version")): _*)
+      textFields.map(f => col(f).as(s"${f}__old")) ++
+      (if (hasProv) Seq(col("field_provenance").as("__prov_old")) else Nil) :+
+      col("version")): _*)
     val joined = fresh.join(ex, Seq(key), "left")
     val withKept = textFields.foldLeft(joined) { (df, f) =>
-      df.withColumn(f,
-        when(col(s"${f}__old").isNotNull &&
-          length(coalesce(col(s"${f}__old"), lit(""))) > length(coalesce(col(f), lit(""))),
-          col(s"${f}__old")).otherwise(col(f)))
-        .drop(s"${f}__old")
+      val keep = col(s"${f}__old").isNotNull &&
+        length(coalesce(col(s"${f}__old"), lit(""))) > length(coalesce(col(f), lit("")))
+      val kept = df.withColumn(s"${f}__keep", keep)
+        .withColumn(f, when(col(s"${f}__keep"), col(s"${f}__old")).otherwise(col(f)))
+      val proved =
+        if (!hasProv) kept
+        else kept.withColumn("field_provenance",
+          when(col(s"${f}__keep") && col("field_provenance").isNotNull &&
+              col("__prov_old").isNotNull &&
+              element_at(col("__prov_old"), lit(f)).isNotNull,
+            map_concat(
+              map_filter(col("field_provenance"), (k, _) => k =!= lit(f)),
+              map(lit(f), element_at(col("__prov_old"), lit(f)))))
+            .otherwise(col("field_provenance")))
+      proved.drop(s"${f}__old", s"${f}__keep")
     }
-    withKept.withColumn("version", coalesce(col("version"), lit(0L)) + 1L)
+    withKept.drop("__prov_old")
+      .withColumn("version", coalesce(col("version"), lit(0L)) + 1L)
   }
 }

@@ -60,7 +60,10 @@ object WebCorpus {
     val kept = lines
       .withColumn("line_hash", xxhash64(col("line")))
       .join(freq, "line_hash")
-      .where(col("doc_freq") < minDocs)
+      // blank/whitespace-only lines are STRUCTURE (paragraph breaks), not
+      // boilerplate — the empty line trivially appears in ≥ minDocs docs in
+      // any real corpus, and filtering it would collapse every paragraph
+      .where(col("doc_freq") < minDocs || length(trim(col("line"))) === 0)
     val reassembled = kept
       .groupBy(col("doc_ref"))
       .agg(

@@ -33,6 +33,17 @@ class EvaluationSpec extends SparkSpec {
     assert(m.getAs[Long]("fn") == 1 && m.getAs[Long]("tn") == 2)
   }
 
+  test("pairMetrics: pair orientation is normalized before the join (metrics.py parity)") {
+    // a correct prediction stored flipped must still count as TP, not FN
+    val pred = Seq(("b", "a"), ("d", "c")).toDF("url_a", "url_b")
+    val m = Evaluation.pairMetrics(pred, truth).collect()(0)
+    assert(m.getAs[Long]("tp") == 2 && m.getAs[Long]("fn") == 0)
+    // and a flipped truth row joins a canonical prediction
+    val flippedTruth = Seq(("b", "a", "same")).toDF("url_a", "url_b", "label")
+    val m2 = Evaluation.pairMetrics(Seq(("a", "b")).toDF("url_a", "url_b"), flippedTruth).collect()(0)
+    assert(m2.getAs[Long]("tp") == 1)
+  }
+
   test("thresholdSweep: one pass matches per-threshold recomputation") {
     val scored = Seq(
       ("a", "b", 0.9), ("c", "d", 0.6), ("e", "f", 0.8), ("g", "h", 0.2)

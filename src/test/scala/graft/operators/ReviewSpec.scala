@@ -63,6 +63,22 @@ class ReviewSpec extends SparkSpec {
     assert(newEntries.count() == 2)
   }
 
+  test("G14 enrichment: a kept existing field restores its existing provenance") {
+    import org.apache.spark.sql.functions.{map, lit}
+    val existing = Seq(("c1", "a much longer existing description", 3L))
+      .toDF("id", "description", "version")
+      .withColumn("field_provenance", map(lit("description"), lit("curated-src")))
+    val fresh = Seq(("c1", "short new"))
+      .toDF("id", "description")
+      .withColumn("field_provenance", map(lit("description"), lit("fresh-src")))
+    val got = Synthesis.enrich(existing, fresh, "id", Seq("description"))
+      .select("description", "field_provenance")
+      .as[(String, Map[String, String])].collect()(0)
+    assert(got._1 == "a much longer existing description")
+    assert(got._2("description") == "curated-src",
+      "provenance must follow the KEPT value (enrichment.py:51-57)")
+  }
+
   test("G14 enrichment: longer existing text kept, version bumps") {
     val existing = Seq(("c1", "a much longer existing description", 3L))
       .toDF("id", "description", "version")

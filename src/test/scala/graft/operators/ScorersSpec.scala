@@ -200,6 +200,10 @@ class ScorersSpec extends SparkSpec {
     assert(descS(Ev(description = Some("gleicher Text")), Ev(description = Some("gleicher Text"))) == 1.0)
     // short_description fallback
     assert(descS(Ev(short_description = Some("kurz")), Ev(description = Some("kurz"))) == 1.0)
+    // Python `or` parity (desc_scorer.py:21): EMPTY-string description is
+    // falsy and must fall through to the short_description, not mask it
+    assert(descS(Ev(description = Some(""), short_description = Some("kurz")),
+      Ev(description = Some("kurz"))) == 1.0)
   }
 
   // ----- combiner + decide (matching/combiner.py) -----

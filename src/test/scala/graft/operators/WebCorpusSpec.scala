@@ -24,6 +24,19 @@ class WebCorpusSpec extends SparkSpec {
       (4L, "", 0L)))
   }
 
+  test("removeBoilerplate: blank lines are structure, never boilerplate") {
+    // the empty line appears in every doc (df = 3 >= minDocs) but must
+    // survive — dropping it would collapse all paragraph breaks corpus-wide
+    val docs = Seq(
+      (1L, "BANNER\npara one\n\npara two"),
+      (2L, "BANNER\nother\n\nmore"),
+      (3L, "BANNER\nthird\n\ntail")
+    ).toDF("doc_id", "text")
+    val got = WebCorpus.removeBoilerplate(docs, "doc_id", "text", minDocs = 3L)
+      .orderBy("doc_id").as[(Long, String, Long)].collect().toSeq
+    assert(got.head == ((1L, "para one\n\npara two", 3L)))
+  }
+
   test("lineDocFrequency counts distinct docs, not occurrences") {
     val docs = Seq((1L, "x\nx\ny"), (2L, "x")).toDF("doc_id", "text")
     val freq = WebCorpus.lineDocFrequency(WebCorpus.lineFrame(docs, "doc_id", "text"))
