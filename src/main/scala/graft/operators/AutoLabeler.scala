@@ -44,9 +44,13 @@ object AutoLabeler {
       .withColumn("title_sim",
         FuzzKernels.token_sort_ratio(coalesce(col("title_a"), lit("")),
           coalesce(col("title_b"), lit(""))))
-    pairs.where(col("title_sim") >= minTitleSim)
-      .unionByName(pairs.where(col("title_sim") < minTitleSim)
-        .where(rand(seed) < hardNegativeRatio))
+    // ONE pass: the union-of-two-filters form evaluated the blocking-key
+    // self-join and the O(len²) fuzzy kernel twice over the same uncached
+    // frame. rand is drawn before the predicate so the hard-negative
+    // sample stays seeded-deterministic for a given frame.
+    pairs.withColumn("__r", rand(seed))
+      .where(col("title_sim") >= minTitleSim || col("__r") < hardNegativeRatio)
+      .drop("__r")
   }
 
   private def nonEmpty(c: Column): Column = c.isNotNull && length(c) > 0

@@ -73,7 +73,9 @@ object Blocking {
     val spark = events.sparkSession
     import spark.implicits._
     val n = events.count()
-    val naive = n * (n - 1) / 2
+    // BigInt: n*(n-1) overflows Long past ~4.3e9 events — this module
+    // documents 10^12-row scale and the value is only reported, never joined
+    val naive = (BigInt(n) * BigInt(n - 1) / 2).min(BigInt(Long.MaxValue)).toLong
     val blocked = pairs.count()
     val reduction = if (naive == 0) 0.0 else 100.0 * (1.0 - blocked.toDouble / naive)
     Seq((n, naive, blocked, reduction))

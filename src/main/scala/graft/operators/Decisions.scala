@@ -50,10 +50,18 @@ object Decisions {
   ): DataFrame = {
     val amb = decisions.where(col("decision") === "ambiguous")
     val settled = decisions.where(col("decision") =!= "ambiguous")
-    val t = extractedByNode.select(col("node"), xxhash64(col("extracted_text")).as("text_h"))
+    // hash only non-null text: xxhash64(NULL) returns the (constant) seed,
+    // so two extraction-failed docs would otherwise compare h_a === h_b and
+    // false-match as exact_text. With a null hash the equality is NULL and
+    // the pair falls through to the overlap check / no_match.
+    val t = extractedByNode.select(col("node"),
+      when(col("extracted_text").isNotNull, xxhash64(col("extracted_text"))).as("text_h"))
+    // left joins: a pair whose node is missing from the text projection
+    // must resolve (to no_match absent other evidence), never silently
+    // vanish from the decision frame
     val resolved = amb
-      .join(t.toDF("node_a", "h_a"), "node_a")
-      .join(t.toDF("node_b", "h_b"), "node_b")
+      .join(t.toDF("node_a", "h_a"), Seq("node_a"), "left")
+      .join(t.toDF("node_b", "h_b"), Seq("node_b"), "left")
       .join(overlaps.select(col("node_a"), col("node_b"), lit(true).as("has_overlap")),
         Seq("node_a", "node_b"), "left")
       .withColumn("decision",
@@ -96,8 +104,15 @@ object Decisions {
       pairs: DataFrame, // must carry content_hash
       cache: DataFrame // (content_hash, decision, tier)
   )(resolve: DataFrame => DataFrame): (DataFrame, DataFrame) = {
+    // ONE row per content hash on the join side — duplicate cache entries
+    // (same content folded twice) would multiply every hit's pair rows.
+    // min(struct) keeps the reduce deterministic even on a conflicting
+    // cache (which same-content hashing should never produce).
     val cached = cache.select(col("content_hash"),
-      col("decision").as("cached_decision"), col("tier").as("cached_tier"))
+      struct(col("decision"), col("tier")).as("__e"))
+      .groupBy("content_hash").agg(min(col("__e")).as("__e"))
+      .select(col("content_hash"),
+        col("__e.decision").as("cached_decision"), col("__e.tier").as("cached_tier"))
     val joined = pairs.join(cached, Seq("content_hash"), "left")
     val hits = joined.where(col("cached_decision").isNotNull)
       .withColumn("decision", col("cached_decision"))
@@ -107,6 +122,7 @@ object Decisions {
       .drop("cached_decision", "cached_tier")
     val resolved = resolve(misses)
     val newEntries = resolved.select(col("content_hash"), col("decision"), col("tier"))
+      .dropDuplicates("content_hash") // two pairs sharing a hash → one entry
     (hits.unionByName(resolved), newEntries)
   }
 }

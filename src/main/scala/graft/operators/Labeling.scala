@@ -62,7 +62,14 @@ object Labeling {
           throw new IllegalArgumentException(
             "labeling session holds conflicting verdicts for one pair and no " +
               "seq column to order them (first-answer-wins needs a prompt order)")
-        accepted.dropDuplicates("id_a", "id_b")
+        // deterministic survivor for label-agreeing duplicates that differ
+        // in auxiliary columns (notes, similarity): lexicographic min over
+        // the remaining fields — dropDuplicates keeps an arbitrary row
+        val others = accepted.columns.filterNot(Seq("id_a", "id_b").contains)
+        accepted.groupBy("id_a", "id_b")
+          .agg(min(struct(others.map(col): _*)).as("__m"))
+          .select((Seq(col("id_a"), col("id_b")) ++
+            others.map(f => col(s"__m.$f").as(f))): _*)
       }
     groundTruth.unionByName(resolved, allowMissingColumns = true)
   }

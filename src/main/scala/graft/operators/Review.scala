@@ -52,9 +52,15 @@ object Review {
     val newLabels = labels.withColumn("component",
       when(col("component") === compA || col("component") === compB, target)
         .otherwise(col("component")))
-    // forced edge between the two old component representatives
+    // forced edge between the two old component representatives. Existing
+    // tiers are PRESERVED (a tier column is only added when absent):
+    // stamping everything 'match' would erase earlier merges' forced edges
+    // — the very records a later global re-run replays human decisions from.
     val forced = Seq((compA, compB, 1.0, "forced")).toDF("src", "dst", "weight", "tier")
-    val newEdges = edges.withColumn("tier", lit("match")).unionByName(forced)
+    val withTier =
+      if (edges.columns.contains("tier")) edges
+      else edges.withColumn("tier", lit("match"))
+    val newEdges = withTier.unionByName(forced)
     val audit = Seq(("merge", compA, compB, target)).toDF("action", "component_a", "component_b", "target")
     (newLabels, newEdges, audit)
   }

@@ -17,13 +17,15 @@ object TextAnalysis {
 
   /** Whitespace token count; empty/blank → 0. */
   def tokenCount(text: Column): Column =
-    when(length(trim(text)) === 0, 0).otherwise(size(split(trim(text), "\\s+")))
+    when(text.isNull || length(trim(text)) === 0, 0)
+      .otherwise(size(split(trim(text), "\\s+"))) // null-guard: size(null) is -1
 
   /** BPE-ish subword token estimate: word chunks + standalone
     * punctuation/symbols, the usual pre-tokenizer regex shape.
     */
   def tokenEstimate(text: Column): Column =
-    when(length(trim(text)) === 0, lit(0L)).otherwise(regexp_count(text, lit("\\w+|[^\\w\\s]")))
+    when(text.isNull || length(trim(text)) === 0, lit(0L))
+      .otherwise(regexp_count(text, lit("\\w+|[^\\w\\s]")))
 
   /** Punctuation character count (sentence-final + clause punctuation). */
   def punctCount(text: Column): Column =
@@ -90,7 +92,9 @@ object TextAnalysis {
     val en = stopwordHits(text, StopwordsEn)
     val fr = stopwordHits(text, StopwordsFr)
     val best = greatest(de, en, fr)
-    when(best === 0, "und")
+    // best.isNull (null text): every when() below would be NULL-skipped and
+    // fall through to 'fr' — no evidence must mean 'und'
+    when(best.isNull || best === 0, "und")
       .when(de === best, "de")
       .when(en === best, "en")
       .otherwise("fr")

@@ -37,6 +37,29 @@ class ReviewSpec extends SparkSpec {
     assert(newEdges.where($"tier" === "forced").count() == 1)
   }
 
+  test("Q14 merge: chained merges preserve earlier forced-edge tiers") {
+    val (labels2, edges2, _) = Review.mergeClusters(labels, edges, 1L, 10L)
+    // second merge must NOT restamp the first merge's forced edge to 'match'
+    val (_, edges3, _) = Review.mergeClusters(labels2, edges2, 1L, 20L)
+    assert(edges3.where($"tier" === "forced").count() == 2,
+      "an earlier merge's forced edge lost its tier")
+  }
+
+  test("A2 decision cache: duplicate cache entries never multiply pair rows") {
+    val pairs = Seq((1L, 2L, "h1")).toDF("node_a", "node_b", "content_hash")
+    val cache = Seq(("h1", "match", "t"), ("h1", "match", "t"))
+      .toDF("content_hash", "decision", "tier")
+    val (decisions, _) = Decisions.resolveWithCache(pairs, cache)(m => m
+      .withColumn("decision", lit("no_match")).withColumn("tier", lit("r")))
+    assert(decisions.count() == 1, "duplicate cache rows fanned out the pair")
+    // and two resolved pairs sharing one hash emit ONE new entry
+    val pairs2 = Seq((1L, 2L, "hx"), (3L, 4L, "hx")).toDF("node_a", "node_b", "content_hash")
+    val (_, entries) = Decisions.resolveWithCache(pairs2,
+      Seq.empty[(String, String, String)].toDF("content_hash", "decision", "tier"))(m => m
+      .withColumn("decision", lit("match")).withColumn("tier", lit("r")))
+    assert(entries.count() == 1)
+  }
+
   test("Q9 review queue: flagged-or-uncertain ordered by confidence, paginated") {
     val clusters = Seq(
       (1L, 3L, false, Some(0.5)), // uncertain

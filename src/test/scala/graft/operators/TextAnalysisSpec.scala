@@ -21,6 +21,14 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got == 4) // hello , world !
   }
 
+  test("null text: tokenCount 0 (not size(null) = -1), langId 'und' (not 'fr')") {
+    val df = Seq(Option.empty[String]).toDF("t")
+    val (n, est, lang) = df.select(
+      TextAnalysis.tokenCount($"t"), TextAnalysis.tokenEstimate($"t"),
+      TextAnalysis.langId($"t")).as[(Int, Long, String)].collect()(0)
+    assert(n == 0 && est == 0L && lang == "und")
+  }
+
   test("quality metrics are deterministic and bounded") {
     val rows = Seq(
       "The quick brown fox jumps over the lazy dog. It was a sunny day, and everything is fine.",
