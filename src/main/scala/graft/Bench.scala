@@ -205,7 +205,12 @@ object Bench {
   // ------------------------------------------------------------------ runs
 
   /** Deterministic pages corpus parquet, generated once per size. */
-  private def corpusPath(spark: SparkSession, n: Long): String = {
+  /** Shared bench-corpus fixture: the profilers/scale tools MUST read the
+    * exact same parquet the bench times, so the generate-if-missing logic
+    * lives in one place (private[graft], reused by BenchScale /
+    * ProfilePipeline / ProfileCandidates).
+    */
+  private[graft] def corpusPath(spark: SparkSession, n: Long): String = {
     val path = s"/tmp/graft_bench_pages_$n"
     if (!new java.io.File(path + "/_SUCCESS").exists()) {
       PagesGen.pages(spark, n).toDF()

@@ -13,12 +13,33 @@ import graft.pipeline.DedupPipeline
   * the faithful N-vs-4N-executors analog; needs SPARK_HOME=/opt/spark).
   */
 object BenchScale {
+  /** Parse a level spec up front — a malformed spec must fail BEFORE the
+    * multi-minute datagen/warm-up, not MatchError mid-run. Returns
+    * Left(threads) or Right((workers, coresEach)).
+    */
+  private[graft] def parseLevel(level: String): Either[Int, (Int, Int)] =
+    if (level.contains("x")) level.split("x", -1) match {
+      case Array(w, c) if w.nonEmpty && c.nonEmpty &&
+          w.forall(_.isDigit) && c.forall(_.isDigit) => Right((w.toInt, c.toInt))
+      case _ => throw new IllegalArgumentException(
+        s"bad level spec '$level' — want N (threads) or WxC (executor JVMs x cores)")
+    } else {
+      require(level.nonEmpty && level.forall(_.isDigit),
+        s"bad level spec '$level' — want N (threads) or WxC (executor JVMs x cores)")
+      Left(level.toInt)
+    }
+
+  // one knob for the executor heap (ProfilePipeline's mechanism): drives
+  // the worker budget, spark.executor.memory AND -Xms together — a partial
+  // override via extraJavaOptions alone could set -Xms above the pinned
+  // -Xmx and kill every executor at launch
+  private def execMemGb: Int = sys.props.getOrElse("graft.execMemGb", "10").toInt
+
   private def session(level: String): SparkSession = {
-    val master =
-      if (level.contains("x")) {
-        val Array(w, c) = level.split("x")
-        s"local-cluster[$w,$c,12288]"
-      } else s"local[$level]"
+    val master = parseLevel(level) match {
+      case Right((w, c)) => s"local-cluster[$w,$c,${(execMemGb + 2) * 1024}]"
+      case Left(t) => s"local[$t]"
+    }
     val b = SparkSession.builder()
       .master(master)
       .appName(s"graft-scale-$level")
@@ -29,16 +50,15 @@ object BenchScale {
       .config("spark.ui.enabled", "false")
     val withExec =
       if (level.contains("x"))
-        // NOTE: local-cluster[w,c,mem] sets the WORKER budget; the executor
-        // heap itself is spark.executor.memory (default 1g) — set it.
-        // no AlwaysPreTouch here: 8 executors pre-touching 10g each at
-        // spawn stalls registration past the heartbeat window; first-touch
-        // cost lands in rep 1 and min-of-reps discards it.
-        b.config("spark.executor.memory", "10g")
-          // standalone executors get only -Xmx from spark.executor.memory;
-          // -Xms + pretouch pins the heap at spawn (see Bench.execSession)
+        // local-cluster[w,c,mem] sets the WORKER budget; the executor heap
+        // itself is spark.executor.memory — standalone executors get only
+        // -Xmx from it, so -Xms + AlwaysPreTouch pins the heap at spawn
+        // (see Bench.execSession; graft.execMemGb resizes all three knobs
+        // coherently)
+        b.config("spark.executor.memory", s"${execMemGb}g")
           .config("spark.executor.extraJavaOptions",
-            sys.props.getOrElse("graft.execOpts", "-Xms10g -XX:+AlwaysPreTouch"))
+            sys.props.getOrElse("graft.execOpts",
+              s"-Xms${execMemGb}g -XX:+AlwaysPreTouch"))
           .config("spark.network.timeout", "600s")
           .config("spark.executor.extraClassPath",
             new java.io.File("target/scala-2.13/classes").getAbsolutePath)
@@ -53,12 +73,10 @@ object BenchScale {
     val n = args(0).toLong
     val reps = args(1).toInt
     val levels = args.drop(2)
-    val path = s"/tmp/graft_bench_pages_$n"
-    if (!new java.io.File(path + "/_SUCCESS").exists()) {
+    levels.foreach(parseLevel) // validate ALL specs before any expensive work
+    val path = {
       val gen = session("32")
-      graft.datagen.PagesGen.pages(gen, n).toDF().repartition(64)
-        .write.mode("overwrite").parquet(path)
-      gen.stop()
+      try Bench.corpusPath(gen, n) finally gen.stop()
     }
     // In-driver warm-up only for thread levels (executor levels warm their
     // own fresh JVMs on the first rep — take min of reps ≥ 2 there).

@@ -24,12 +24,7 @@ object ProfileCandidates {
     spark.sparkContext.setLogLevel("WARN")
     Quiet.hintWarnings()
 
-    val path = s"/tmp/graft_bench_pages_$n"
-    if (!new java.io.File(path + "/_SUCCESS").exists()) {
-      graft.datagen.PagesGen.pages(spark, n).toDF().repartition(64)
-        .write.mode("overwrite").parquet(path)
-    }
-    val pages = spark.read.parquet(path)
+    val pages = spark.read.parquet(Bench.corpusPath(spark, n))
     val cfg = GraftConfig.default
     val p = new DedupPipeline(spark, cfg)
 
@@ -43,37 +38,53 @@ object ProfileCandidates {
     val sigs = p.signatures(p.extracted(pages))
     time("materialize sigs")(sigs.write.mode("overwrite").format("noop").save())
 
+    // Sub-steps mirror MinHashLsh.fusedCandidates EXACTLY (band_keys from
+    // the pipeline's signature projection, tinyint tiers, star candidates
+    // for hot buckets) — a drifted inline copy would profile a different
+    // operator than the "full fusedCandidates" line below times.
     val d = cfg.simhash.maxHammingDistance
-    val banded = sigs.where(col("minhash").isNotNull)
-      .select(col("node"), col("simhash"),
-        explode(Hashing.bandKeys(col("minhash"), cfg.lsh.bands, cfg.lsh.rowsPerBand)).as("key"))
-      .withColumn("tier", lit("lsh"))
+    val banded = sigs.where(col("band_keys").isNotNull)
+      .select(col("node"), col("simhash"), explode(col("band_keys")).as("key"))
+      .withColumn("tier", lit(0).cast("tinyint"))
     val blocked = sigs.where(col("simhash").isNotNull)
       .select(col("node"), col("simhash"),
         explode(Hashing.simHashBlocks(col("simhash"), d + 1)).as("raw_key"))
       .select(col("node"), col("simhash"), xxhash64(col("raw_key"), lit("simblock")).as("key"))
-      .withColumn("tier", lit("simhash"))
+      .withColumn("tier", lit(1).cast("tinyint"))
     val keyed = banded.unionByName(blocked)
     val nKeyed = time("keyed count")(keyed.count())
     println(s"[cand] keyed rows = $nKeyed")
 
-    val hotKeys = keyed.groupBy("key").count()
+    val hotArr = time("hotKeys collect")(keyed.groupBy("key").count()
       .where(col("count") > cfg.lsh.maxBucketSize).select("key")
-    val nHot = time("hotKeys count")(hotKeys.count())
-    println(s"[cand] hot keys = $nHot  (maxBucketSize=${cfg.lsh.maxBucketSize})")
+      .collect().map(_.getLong(0)))
+    println(s"[cand] hot keys = ${hotArr.length}  (maxBucketSize=${cfg.lsh.maxBucketSize})")
+    import spark.implicits._
+    val hotKeys = broadcast(hotArr.toSeq.toDF("key"))
 
-    val pruned = keyed.join(broadcast(hotKeys), Seq("key"), "left_anti")
+    val pruned =
+      if (hotArr.isEmpty) keyed else keyed.join(hotKeys, Seq("key"), "left_anti")
     val a = pruned.alias("a")
     val b = pruned.alias("b")
     val allPairs = a.join(b, col("a.key") === col("b.key") && col("a.node") < col("b.node"))
       .where(col("a.tier") === col("b.tier"))
-      .where(col("a.tier") === "lsh" ||
+      .where(col("a.tier") === 0 ||
         bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))) <= d)
       .select(col("a.node").as("node_a"), col("b.node").as("node_b"), col("a.tier").as("cand_tier"))
-    val nPairs = time("self-join pairs")(allPairs.count())
+    val withStar =
+      if (hotArr.isEmpty) allPairs
+      else {
+        val hot = keyed.join(hotKeys, Seq("key"), "left_semi")
+        val hotMin = hot.groupBy("key").agg(min(col("node")).as("min_node"))
+        allPairs.unionByName(hot.join(hotMin, "key")
+          .where(col("node") > col("min_node"))
+          .select(col("min_node").as("node_a"), col("node").as("node_b"),
+            lit(2).cast("tinyint").as("cand_tier")))
+      }
+    val nPairs = time("self-join pairs (+star)")(withStar.count())
     println(s"[cand] raw pairs = $nPairs")
 
-    val deduped = allPairs.groupBy("node_a", "node_b").agg(min(col("cand_tier")).as("cand_tier"))
+    val deduped = withStar.groupBy("node_a", "node_b").agg(min(col("cand_tier")).as("cand_tier"))
     val nDedup = time("dedup")(deduped.count())
     println(s"[cand] deduped pairs = $nDedup")
 

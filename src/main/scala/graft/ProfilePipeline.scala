@@ -24,7 +24,8 @@ object ProfilePipeline {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
     val spark = (if (level.contains("x")) {
-      val Array(w, c) = level.split("x")
+      val (w, c) = BenchScale.parseLevel(level) // fail fast on a bad spec
+        .getOrElse(throw new IllegalArgumentException(s"bad level: $level"))
       // -Dgraft.execMemGb overrides the per-executor heap (default 10g —
       // worker counts ≥8 must shrink it or 8 pretouched heaps + driver
       // exceed host RAM and the OOM killer takes the run).
@@ -39,16 +40,18 @@ object ProfilePipeline {
     spark.sparkContext.setLogLevel("WARN")
     Quiet.hintWarnings()
 
-    val path = s"/tmp/graft_bench_pages_$n"
-    if (!new java.io.File(path + "/_SUCCESS").exists()) {
-      graft.datagen.PagesGen.pages(spark, n).toDF().repartition(64)
-        .write.mode("overwrite").parquet(path)
-    }
-    val pages = spark.read.parquet(path)
+    val pages = spark.read.parquet(Bench.corpusPath(spark, n))
     val cfg = GraftConfig.default
 
     val rounds = if (args.length > 2) args(2).toInt else 2
-    val flags = if (args.length > 3) args(3).split(",").toSet else Set.empty[String]
+    // args(3): comma-separated flag set. Known flags: `ckpt` (checkpoint
+    // every stage to tmpfs instead of persist), `bc64` (raise the AQE
+    // broadcast threshold to 64 MB). Unknown flags fail fast — a typo like
+    // `checkpoint` must not silently profile the persist path.
+    val flags = if (args.length > 3) args(3).split(",").filter(_.nonEmpty).toSet
+                else Set.empty[String]
+    val unknown = flags -- Set("ckpt", "bc64")
+    require(unknown.isEmpty, s"unknown profile flags: ${unknown.mkString(",")}")
     val ckptMode = flags("ckpt")
     // bc64: let AQE broadcast runtime-small join sides up to 64 MB (labels,
     // candidate pairs). Adaptive, not a hint — at 10^12 docs the same config
@@ -57,18 +60,18 @@ object ProfilePipeline {
       spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "64m")
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64m")
     }
+    def rm(x: java.io.File): Unit = {
+      if (x.isDirectory) Option(x.listFiles()).toSeq.flatten.foreach(rm)
+      x.delete(): Unit
+    }
+    def ckptDir(r: Int) =
+      s"${sys.props.getOrElse("graft.localDir", "/dev/shm/graft-spark")}/profile_ckpt_$r"
     for (r <- 1 to rounds) {
       val workDir =
         if (!ckptMode) None
         else {
-          val d = s"${sys.props.getOrElse("graft.localDir", "/dev/shm/graft-spark")}/profile_ckpt_$r"
-          val f = new java.io.File(d)
-          def rm(x: java.io.File): Unit = {
-            if (x.isDirectory) Option(x.listFiles()).toSeq.flatten.foreach(rm)
-            x.delete(): Unit
-          }
-          rm(f)
-          Some(d)
+          rm(new java.io.File(ckptDir(r))) // stale dir from a previous run
+          Some(ckptDir(r))
         }
       val p = new DedupPipeline(spark, cfg, workDir)
       def time(name: String)(df: => DataFrame): DataFrame = {
@@ -87,16 +90,10 @@ object ProfilePipeline {
       time("canonicals")(p.canonicals(lbls, ext, Some(decs)))
       println(f"[profile] r$r TOTAL        ${(System.nanoTime() - t0) / 1e9}%8.2f s")
       p.unpersistAll()
-    }
-    if (ckptMode) {
-      def rm(x: java.io.File): Unit = {
-        if (x.isDirectory) Option(x.listFiles()).toSeq.flatten.foreach(rm)
-        x.delete(): Unit
-      }
-      (1 to rounds).foreach { r =>
-        rm(new java.io.File(
-          s"${sys.props.getOrElse("graft.localDir", "/dev/shm/graft-spark")}/profile_ckpt_$r"))
-      }
+      // this round's checkpoint data is dead once the round ends — free the
+      // RAM-backed tmpfs NOW, not after all rounds (4 full stage sets on
+      // /dev/shm alongside executor heaps is how the OOM killer takes runs)
+      workDir.foreach(d => rm(new java.io.File(d)))
     }
     spark.stop()
   }

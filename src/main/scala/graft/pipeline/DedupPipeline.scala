@@ -162,13 +162,19 @@ final class DedupPipeline(
     stage("decisions", cands, sigs, extractedDf) {
       val byNode = extractedDf.select(xxhash64(col("url")).as("node"), col("extracted_text"))
       val ambPairs = tier1.where(col("decision") === "ambiguous").select("node_a", "node_b")
-      // Same reduction as tier-1, on a WIDER payload: only ambiguous-pair
-      // nodes can contribute to tier-2, so the corpus-wide text frame must
-      // not cross the two LCS-verify equi-joins (nor feed the corpus-wide
-      // text-hash scan inside resolveAmbiguous).
-      val ambTexts = MinHashLsh.pruneToPairNodes(byNode, ambPairs)
-      val ambOverlaps = SuffixOverlap.verify(ambPairs, ambTexts.as[(Long, String)], cfg)
-      Decisions.resolveAmbiguous(tier1, ambTexts, ambOverlaps, cfg)
+      // NO tier-1-style semi-join reduction here, deliberately (measured:
+      // adding one costs ~2x on q53). The ambiguous band is a small,
+      // decision-filtered subset — broadcastable by construction — so the
+      // planner broadcasts the PAIR side of both the LCS joins and the
+      // text-hash joins, and the corpus text/hashes stream from the
+      // extracted cache without ever shuffling. Tier-1 differs: its
+      // candidate-pair frame outgrows the broadcast budget while its node
+      // SET still fits, which is exactly when the reduction pays. If an
+      // ambiguous band ever outgrew broadcast, the node-set broadcast
+      // would not fit either — the right move at that scale is a
+      // shuffled/bloom semi-join, not this one.
+      val ambOverlaps = SuffixOverlap.verify(ambPairs, byNode.as[(Long, String)], cfg)
+      Decisions.resolveAmbiguous(tier1, byNode, ambOverlaps, cfg)
     }
   }
 
