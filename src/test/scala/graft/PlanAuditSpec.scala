@@ -19,8 +19,12 @@ class PlanAuditSpec extends SparkSpec {
   test("q03: date-range predicates are pushed to the parquet scan") {
     val p = planOf("q03_date_range_agg")
     assert(p.contains("PushedFilters"), p.take(500))
-    assert(p.contains("IsNotNull(o_orderdate)") || p.contains("GreaterThanOrEqual(o_orderdate"),
-      "expected o_orderdate pushdown:\n" + p.take(2000))
+    // the RANGE bounds themselves must reach the scan — IsNotNull alone
+    // (which Spark pushes for any referenced column) would mask losing the
+    // actual date-range pushdown
+    assert(p.contains("GreaterThanOrEqual(o_orderdate") ||
+      p.contains("GreaterThan(o_orderdate"),
+      "expected the o_orderdate range bound pushed down:\n" + p.take(2000))
   }
 
   test("q01: column pruning — scan reads only the projected columns") {
@@ -42,13 +46,19 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p.take(2000))
   }
 
-  test("hot-key pruning uses a broadcast join, not a shuffle") {
-    val cfg = graft.config.GraftConfig.default
-    val sigs = graft.operators.MinHashLsh.signatures(
-      Seq((1L, "a b c d e f g h")).toDF("url", "extracted_text"), cfg)
+  test("hot-key pruning uses a broadcast anti-join, not a shuffle") {
+    // the bucket must actually be HOT or fusedCandidates elides the whole
+    // pruning subplan (hotArr empty) and the audit is vacuous — 40
+    // identical docs over maxBucketSize=10 forces it in
+    val cfg0 = graft.config.GraftConfig.default
+    val cfg = cfg0.copy(lsh = cfg0.lsh.copy(maxBucketSize = 10))
+    val docs = spark.range(40L)
+      .selectExpr("id AS url", "'a b c d e f g h i j' AS extracted_text")
+    val sigs = graft.operators.MinHashLsh.signatures(docs, cfg)
     val cands = graft.operators.MinHashLsh.fusedCandidates(sigs, cfg)
     val p = cands.queryExecution.executedPlan.toString
-    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      "hot-key pruning must plan a broadcast LeftAnti join:\n" + p.take(3000))
   }
 
   test("extraction + signature stage stays inside whole-stage codegen") {
@@ -75,7 +85,10 @@ class PlanAuditSpec extends SparkSpec {
 
   test("q05: offset/limit does not global-sort-materialize the full table") {
     val p = planOf("q05_sort_paginate")
-    assert(p.contains("TakeOrderedAndProject") || p.contains("GlobalLimit"), p.take(2000))
+    // must be the top-k operator — a full Sort + GlobalLimit is exactly the
+    // regression this audit exists to catch, so GlobalLimit must not count
+    assert(p.contains("TakeOrderedAndProject"),
+      "expected TakeOrderedAndProject (top-k), not a global sort:\n" + p.take(2000))
   }
 
   test("decontamination joins the benchmark gram table via broadcast") {

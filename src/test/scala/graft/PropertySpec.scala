@@ -81,8 +81,7 @@ class PropertySpec extends SparkSpec {
       val row = Seq((a.mkString(" "), b.mkString(" "))).toDF("ta", "tb").select(
         Hashing.minHash(Hashing.shingleHashes(split($"ta", " "), 1), 256).as("ma"),
         Hashing.minHash(Hashing.shingleHashes(split($"tb", " "), 1), 256).as("mb"))
-        .select((aggregate(zip_with($"ma", $"mb", (x, y) => when(x === y, 1).otherwise(0)),
-          lit(0), (acc, x) => acc + x).cast("double") / 256).as("est"))
+        .select(graft.operators.MinHashLsh.estJaccard($"ma", $"mb", 256).as("est"))
         .as[Double].collect()(0)
       val trueJ = shared.toDouble / (shared + ua + ub)
       // 256 hashes → σ = sqrt(j(1-j)/256) ≤ 0.032; allow 4σ

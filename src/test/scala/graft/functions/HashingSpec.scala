@@ -43,8 +43,7 @@ class HashingSpec extends SparkSpec {
       .select(
         (size(array_intersect($"sha", $"shb")).cast("double") /
           size(array_union($"sha", $"shb"))).as("jac"),
-        (aggregate(zip_with($"ma", $"mb", (x, y) => when(x === y, 1).otherwise(0)),
-          lit(0), (acc, x) => acc + x).cast("double") / 256).as("est")
+        graft.operators.MinHashLsh.estJaccard($"ma", $"mb", 256).as("est")
       )
     val (jac, est) = df.as[(Double, Double)].collect()(0)
     assert(math.abs(jac - est) < 0.12, s"jaccard=$jac est=$est")
@@ -84,7 +83,10 @@ class HashingSpec extends SparkSpec {
     val a = 0x0123456789abcdefL
     val b = a ^ (1L << 3) ^ (1L << 40) ^ (1L << 63) // 3 bit flips
     assert(blocks(a).intersect(blocks(b)).nonEmpty)
-    assert(blocks(a).toSeq == blocks(a).toSeq)
+    // block-shape invariants (the old self-comparison here was vacuous):
+    // d+1 keys, all distinct (per-position tagging keeps slices disjoint)
+    assert(blocks(a).length == d + 1)
+    assert(blocks(a).toSeq.distinct.length == d + 1)
   }
 
   test("pigeonhole completeness: EVERY pair with hamming <= d shares a block key") {

@@ -24,8 +24,8 @@ class DedupPipelineSpec extends SparkSpec {
       .select(
         TextFunctions.extractText($"html").as("from_html"),
         TextFunctions.normalizeText($"text").as("from_text"))
-      .where($"from_html" =!= $"from_text")
-      .count()
+      .where(!($"from_html" <=> $"from_text")) // null-safe: a NULL extraction
+      .count()                                   // must COUNT as a mismatch
     assert(mismatches == 0)
   }
 
@@ -43,11 +43,13 @@ class DedupPipelineSpec extends SparkSpec {
       .join(labels, "node")
       .select($"url", $"component")
     val samePairs = truth.where($"label" === "same")
+    // LEFT joins: a truth pair whose node the labels stage LOST must count
+    // as a miss (inner joins would shrink the denominator and hide it)
     val joined = samePairs
-      .join(urlNode.toDF("url_a", "comp_a"), "url_a")
-      .join(urlNode.toDF("url_b", "comp_b"), "url_b")
+      .join(urlNode.toDF("url_a", "comp_a"), Seq("url_a"), "left")
+      .join(urlNode.toDF("url_b", "comp_b"), Seq("url_b"), "left")
     val total = joined.count()
-    val hit = joined.where($"comp_a" === $"comp_b").count()
+    val hit = joined.where($"comp_a".isNotNull && $"comp_a" === $"comp_b").count()
     assert(total > 100, s"expected substantial planted truth, got $total")
     val recall = hit.toDouble / total
     assert(recall >= 0.99, s"recall=$recall ($hit/$total)")

@@ -58,6 +58,16 @@ class IncrementalDedupSpec extends SparkSpec {
     val n1 = s1.signatures.count()
     val s2 = inc.step(s1, spark.range(100L, 200L).map(id => PagesGen.pageOf(42L, id)).toDF())
     assert(n1 == 100 && s2.signatures.count() == 200)
+    // plan-shape guard (counts alone cannot fail for this regression): the
+    // fold-2 signature frame must carry fold 1 as a MATERIALIZED leaf
+    // (state.signatures localCheckpoint → ExistingRDD scan), and must NOT
+    // contain a second extraction subtree re-deriving batch 1 from html
+    val plan = s2.signatures.queryExecution.executedPlan.toString
+    assert(plan.contains("ExistingRDD"),
+      "fold-1 signatures should enter fold 2 as a materialized leaf:\n" + plan.take(2000))
+    val sketchCount = "doc_signature".r.findAllIn(plan).size
+    assert(sketchCount <= 1,
+      s"fold 2 plans $sketchCount sketch subtrees — recomputing prior batches?\n" + plan.take(2000))
     assert(s2.labels.count() == 200)
     // the band index and key counts accumulate across folds
     assert(s2.bands.count() == s2.signatures.count() * cfg.lsh.bands)
