@@ -941,12 +941,15 @@ object SparkEntry {
     */
   private def q58(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    // fixed path, wiped up front: a fresh createTempDirectory per call
-    // would leak a corpus-sized dir (input copy + checkpoint + output) on
-    // every Verify run; this bounds the footprint to one copy. Deleting at
-    // START (not end) keeps the returned DataFrame's lazy parquet scan of
-    // `out` valid for the caller's write.
-    val base = s"${System.getProperty("java.io.tmpdir")}/graft_q58"
+    // per-PROCESS fixed path, wiped up front: a fresh createTempDirectory
+    // per call would leak a corpus-sized dir (input copy + checkpoint +
+    // output) on every Verify run, so re-invocations within one process
+    // reuse (and first wipe) one dir — but the path carries the pid so two
+    // CONCURRENT runs on one host (e.g. a Verify overlapping a manual q58)
+    // cannot delete each other's in-flight streaming checkpoint between the
+    // two drains. Deleting at START (not end) keeps the returned
+    // DataFrame's lazy parquet scan of `out` valid for the caller's write.
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_q58_p${ProcessHandle.current().pid()}"
     val basePath = new org.apache.hadoop.fs.Path(base)
     basePath.getFileSystem(s.sparkContext.hadoopConfiguration).delete(basePath, true)
     val in = s"$base/in"; val out = s"$base/out"; val ck = s"$base/ckpt"

@@ -106,7 +106,27 @@ final class Checkpoints(spark: SparkSession, workDir: String, configHash: String
   // table over the old config's files would silently mix rows computed
   // under different configs (e.g. band keys from two different LSH seeds)
   // into one index. The stage() meta-hash invalidation, applied to paths.
-  private def bucketedDataPath(name: String) = s"$workDir/${name}__$configHash"
+  //
+  // Migration fallback: state dirs written BEFORE the config-suffixed
+  // layout keep their data + bucketmeta sidecar at the unsuffixed path
+  // ($workDir/<name>). When the suffixed sidecar is absent but the legacy
+  // one exists, resume (and keep appending) THERE — stranding every
+  // pre-upgrade corpus behind a "Path does not exist" would be worse than
+  // the config-mixing risk the suffix guards against (the legacy layout
+  // was single-config per workDir by construction, and fresh state dirs
+  // always take the suffixed path). Resolution is cached per name so the
+  // append that CREATES the suffixed sidecar cannot flip a later call of
+  // the same session back to the legacy path.
+  private val resolvedBucketPath = scala.collection.mutable.HashMap.empty[String, String]
+  private def bucketedDataPath(name: String): String =
+    resolvedBucketPath.getOrElseUpdate(name, {
+      val suffixed = s"$workDir/${name}__$configHash"
+      val legacy = s"$workDir/$name"
+      val f = fs(workDir)
+      if (!f.exists(new Path(suffixed + "__bucketmeta.json")) &&
+          f.exists(new Path(legacy + "__bucketmeta.json"))) legacy
+      else suffixed
+    })
 
   def bucketedAppend(name: String, df: DataFrame, bucketCol: String,
       numBuckets: Int): DataFrame = {

@@ -121,19 +121,36 @@ final class IncrementalDedup(spark: SparkSession, cfg: GraftConfig = GraftConfig
     * old component while `relabeled` assigns a fresh one).
     *
     * Crash replay (table-backed + `batchId`): the novel-node set is pinned
-    * to a sidecar BEFORE any append, and each bucketed append sets a done
-    * flag after it lands — so re-running a fold that died mid-append
-    * re-appends exactly the missing table(s) with byte-identical rows
-    * (newSigs/newBands are deterministic in the batch) and duplicates
-    * nothing. Replay is for folds whose [[saveState]] did NOT complete;
-    * replaying a fully-saved fold re-merges its key counts (conservative:
-    * hot-key caps trip earlier, never later). Without `batchId` the novel
-    * set is pinned via an eager cache instead — correct for the normal
-    * path, but a mid-append crash then requires a fresh state dir.
+    * to a sidecar BEFORE any append; each bucketed append is bracketed by a
+    * `started` flag (set before the append job) and a done flag (set after
+    * it) — a replayed fold that finds started-without-done PROBES the table
+    * for the batch's pinned novel nodes: present means the append job
+    * committed before the crash (skip it), absent means it never committed
+    * (re-run it, byte-identical rows — newSigs/newBands are deterministic
+    * in the batch). The one residual window is a crash MID job-commit
+    * (some bucket files moved, some not) — closing that needs a
+    * snapshotting table format, i.e. the Iceberg seam; with the parquet
+    * stand-in it is documented, not silent. Replay is for folds whose
+    * [[saveState]] did NOT complete; replaying a fully-saved fold
+    * re-merges its key counts (conservative: hot-key caps trip earlier,
+    * never later). Without `batchId` the novel set is pinned via an eager
+    * cache instead — correct for the normal path, but a mid-append crash
+    * then requires a fresh state dir.
+    *
+    * Resource lifecycle: every intermediate this fold persists (rawSigs,
+    * newSigs, newBands, newEdges) is unpersisted before returning — the
+    * returned State frames are EAGER localCheckpoints (or bucketed-table
+    * scans), so nothing downstream re-reads the dropped caches. A driver
+    * looping step() over hundreds of batches otherwise accumulates 3-4
+    * pinned frames per fold until executor disks fill.
     */
   def step(state: State, newPages: DataFrame, batchId: Option[String] = None): State = {
-    val rawSigs = signaturesOf(newPages)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val persisted = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    def pin(df: DataFrame): DataFrame = {
+      persisted += df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      df
+    }
+    val rawSigs = pin(signaturesOf(newPages))
     val ledger = for { ck <- checkpoints; id <- batchId } yield (ck, s"inc_batch_$id")
 
     // Novelty must be pinned BEFORE the appends below mutate the stored
@@ -142,23 +159,24 @@ final class IncrementalDedup(spark: SparkSession, cfg: GraftConfig = GraftConfig
     val storedNodes = checkpoints.flatMap(_.bucketedTable("sigs_index"))
       .getOrElse(state.signatures).select("node")
     val novel = rawSigs.join(storedNodes, Seq("node"), "left_anti")
-    val newSigs = ledger match {
-      case Some((ck, key)) =>
-        val pinned = ck.sideTable(s"${key}_nodes")
-          .getOrElse(ck.writeSideTable(s"${key}_nodes", novel.select("node")))
-        rawSigs.join(pinned, Seq("node"), "left_semi")
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      case None if checkpoints.isDefined =>
+    val pinnedNodes = ledger.map { case (ck, key) =>
+      ck.sideTable(s"${key}_nodes")
+        .getOrElse(ck.writeSideTable(s"${key}_nodes", novel.select("node")))
+    }
+    val newSigs = (pinnedNodes, checkpoints) match {
+      case (Some(nodes), _) =>
+        pin(rawSigs.join(nodes, Seq("node"), "left_semi"))
+      case (None, Some(_)) =>
         // A persist+count pin is NOT enough here: the bucketed append below
         // fires recacheByPlan on every cache entry referencing the table,
         // RECOMPUTING the anti-join against the post-append table — which
         // self-cancels every node. localCheckpoint cuts the plan to a
         // LogicalRDD with no table reference, immune to the refresh.
         novel.localCheckpoint(true)
-      case None =>
+      case (None, None) =>
         // in-memory state frames are stable snapshots (localCheckpoint of
         // the previous fold), so laziness is safe
-        novel.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        pin(novel)
     }
     val newStateSigs = newSigs.select("node", "url", "extracted_text")
     // table-backed state: signatures append to a node-bucketed table like
@@ -167,18 +185,14 @@ final class IncrementalDedup(spark: SparkSession, cfg: GraftConfig = GraftConfig
     // for tests and small corpora only)
     val allSigs = checkpoints match {
       case Some(ck) =>
-        val done = ledger.exists { case (c, key) => c.flag(s"${key}_sigs") }
-        val t = if (done) ck.bucketedTable("sigs_index").get
-          else ck.bucketedAppend("sigs_index", newStateSigs, "node", bandBuckets)
-        ledger.foreach { case (c, key) => c.setFlag(s"${key}_sigs") }
-        t
+        appendOnce(ck, "sigs_index", newStateSigs, "node",
+          ledger.map(_._2 + "_sigs"), pinnedNodes)
       case None => state.signatures.unionByName(newStateSigs)
     }
 
     // band index: compute the NEW batch's bands once, append to the stored
     // index; per-key counts merge incrementally (old + new), no recount
-    val newBands = bandsOf(newSigs)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val newBands = pin(bandsOf(newSigs))
     val newCounts = newBands.groupBy("key").agg(count(lit(1)).as("n"))
     val keyCounts = state.keyCounts.unionByName(newCounts)
       .groupBy("key").agg(sum(col("n")).as("n"))
@@ -187,11 +201,8 @@ final class IncrementalDedup(spark: SparkSession, cfg: GraftConfig = GraftConfig
     // in-memory fallback unions onto the previous state's frame.
     val allBands = checkpoints match {
       case Some(ck) =>
-        val done = ledger.exists { case (c, key) => c.flag(s"${key}_bands") }
-        val t = if (done) ck.bucketedTable("bands_index").get
-          else ck.bucketedAppend("bands_index", newBands, "key", bandBuckets)
-        ledger.foreach { case (c, key) => c.setFlag(s"${key}_bands") }
-        t
+        appendOnce(ck, "bands_index", newBands, "key",
+          ledger.map(_._2 + "_bands"), pinnedNodes)
       case None => state.bands.unionByName(newBands)
     }
     val hot = keyCounts.where(col("n") > cfg.lsh.maxBucketSize).select("key")
@@ -203,10 +214,9 @@ final class IncrementalDedup(spark: SparkSession, cfg: GraftConfig = GraftConfig
     // persisted: the verify join (the dominant per-pair CPU) feeds THREE
     // subplans — touchedComponents, affectedNodes via union, allEdges —
     // and Spark shares no common subplans without a cache
-    val newEdges = MinHashLsh.verify(cands, shingleSideOf(allSigs, cands), cfg)
+    val newEdges = pin(MinHashLsh.verify(cands, shingleSideOf(allSigs, cands), cfg)
       .where(col("exact_jaccard") >= cfg.lsh.jaccardThreshold)
-      .select(col("node_a").as("src"), col("node_b").as("dst"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .select(col("node_a").as("src"), col("node_b").as("dst")))
     val allEdges = state.edges.unionByName(newEdges).dropDuplicates("src", "dst")
 
     // components touched by a new edge or containing a new node
@@ -234,12 +244,46 @@ final class IncrementalDedup(spark: SparkSession, cfg: GraftConfig = GraftConfig
     // for reliable checkpoint/table writes (the Checkpoints seam) since
     // local checkpoints don't survive executor loss. The table-backed band
     // index needs neither: its lineage already starts at the bucketed scan.
-    State(
-      if (checkpoints.isDefined) allSigs else allSigs.localCheckpoint(false),
-      if (checkpoints.isDefined) allBands else allBands.localCheckpoint(false),
-      keyCounts.localCheckpoint(false),
-      allEdges.localCheckpoint(false),
-      labels.localCheckpoint(false))
+    // EAGER (true) so the checkpoints materialize while this fold's pinned
+    // intermediates are still cached — the unpersist sweep below is then
+    // safe (nothing downstream re-reads the dropped caches).
+    val next = State(
+      if (checkpoints.isDefined) allSigs else allSigs.localCheckpoint(true),
+      if (checkpoints.isDefined) allBands else allBands.localCheckpoint(true),
+      keyCounts.localCheckpoint(true),
+      allEdges.localCheckpoint(true),
+      labels.localCheckpoint(true))
+    persisted.foreach(_.unpersist(false))
+    next
+  }
+
+  /** Append `df` to the bucketed stage table AT MOST ONCE per ledger key
+    * (crash-replay bracket — see [[step]]'s scaladoc). Without a ledger key
+    * the append is unconditional (no replay protocol to honor).
+    *
+    * The landed-probe costs one short-circuiting semi-join of the pinned
+    * novel-node ids against the stored table, and ONLY on a genuine crash
+    * replay (started flag present, done flag absent) — never on the normal
+    * per-fold path. Probe soundness: pinned nodes are novel by the
+    * anti-join that defined them, so any one of them already present in
+    * the table proves this batch's append job committed.
+    */
+  private def appendOnce(ck: Checkpoints, table: String, df: DataFrame,
+      bucketCol: String, ledgerKey: Option[String],
+      novelNodes: Option[DataFrame]): DataFrame = ledgerKey match {
+    case Some(key) if ck.flag(key) => ck.bucketedTable(table).get
+    case Some(key) =>
+      val replayAfterCrash = ck.flag(s"${key}_started")
+      ck.setFlag(s"${key}_started")
+      val landed = replayAfterCrash && novelNodes.exists(nodes =>
+        ck.bucketedTable(table).exists(t =>
+          !t.join(broadcast(nodes), Seq("node"), "left_semi").isEmpty))
+      val out =
+        if (landed) ck.bucketedTable(table).get
+        else ck.bucketedAppend(table, df, bucketCol, bandBuckets)
+      ck.setFlag(key)
+      out
+    case None => ck.bucketedAppend(table, df, bucketCol, bandBuckets)
   }
 
   /** Persist a fold's state as stage tables so a LATER SESSION can resume

@@ -74,6 +74,9 @@ object PagesStream {
       .schema("url STRING, warc_ts TIMESTAMP, html BINARY, text STRING, lang STRING")
       .parquet(inputDir)
     val deduped = pages
+      // null event times can't expire (the watermark never passes null):
+      // their fingerprint state would pin forever — drop such rows up front
+      .where(col("warc_ts").isNotNull)
       .select(col("url"), col("warc_ts"), col("lang"),
         TextFunctions.extractText(col("html")).as("extracted_text"))
       .withColumn("fp", graft.operators.TextAnalysis.fingerprint64(col("extracted_text")))
@@ -107,6 +110,9 @@ object PagesStream {
       .schema("url STRING, warc_ts TIMESTAMP, html BINARY, text STRING, lang STRING")
       .parquet(inputDir)
     val agg = pages
+      // a NULL warc_ts lands in a null window cell the watermark can never
+      // close — Append mode would hold (and grow) that group's state forever
+      .where(col("warc_ts").isNotNull)
       .select(col("url"), col("warc_ts"),
         TextFunctions.extractText(col("html")).as("extracted_text"))
       .withColumn("host", UrlOps.host(col("url")))
@@ -181,8 +187,13 @@ object PagesStream {
     val extracted = pages.select(
       col("url"), col("warc_ts"),
       TextFunctions.extractText(col("html")).as("extracted_text"))
+    // warc_ts null-guard: a NULL event time passes the late-data predicate
+    // (null is not "late") and reaches the state function, where
+    // `_.ts.getTime` would NPE and kill the whole query on one dirty crawl
+    // row. A row with no event time cannot participate in watermarked state
+    // anyway — drop it here, matching the batch consumers' ts.isNotNull.
     val banded = MinHashLsh.signatures(extracted, cfg)
-      .where(col("minhash").isNotNull)
+      .where(col("minhash").isNotNull && col("warc_ts").isNotNull)
       .select(
         explode(Hashing.bandKeys(col("minhash"), cfg.lsh.bands, cfg.lsh.rowsPerBand)).as("key"),
         col("node"), col("warc_ts").as("ts"))
@@ -221,8 +232,10 @@ object PagesStream {
             // there that never recurs would otherwise carry state forever
             // (no timeout ever registered), so anchor on the batch's own
             // max event time as the watermark's stand-in.
-            val anchor = math.max(state.getCurrentWatermarkMs(),
-              batch.iterator.map(_.ts.getTime).max)
+            // flatMap over Option(ts): defense in depth vs the upstream
+            // isNotNull filter, and the watermark seed keeps `max` total.
+            val anchor = (Iterator(state.getCurrentWatermarkMs()) ++
+              batch.iterator.flatMap(r => Option(r.ts).map(_.getTime))).max
             state.setTimeoutTimestamp(anchor + ttlMillis)
             out.result().iterator
           }

@@ -229,6 +229,96 @@ class IncrementalDedupSpec extends SparkSpec {
       "replayed fold diverged from the original")
   }
 
+  test("crash replay: appends landed but done flags missing — replay duplicates nothing") {
+    // The non-atomic window: saveAsTable committed, the JVM died before
+    // setFlag. Replay finds started-without-done, probes the table for the
+    // batch's pinned novel nodes, sees them, and SKIPS the re-append — a
+    // blind replay would double every signature/band row of the batch.
+    val cfg = GraftConfig.default
+    val wd = java.nio.file.Files.createTempDirectory("graft_inc_crash").toString
+    val ck = new Checkpoints(spark, wd, "crash-hash")
+    val inc = new IncrementalDedup(spark, cfg, Some(ck), bandBuckets = 8)
+    val batchA = PagesGen.pages(spark, 60L).toDF()
+    val s1 = inc.step(inc.emptyState, batchA, batchId = Some("b1"))
+    val (sig1, band1) = (s1.signatures.count(), s1.bands.count())
+    assert(sig1 == 60L)
+
+    val fs = new org.apache.hadoop.fs.Path(wd)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    for (t <- Seq("sigs", "bands")) {
+      val done = new org.apache.hadoop.fs.Path(s"$wd/inc_batch_b1_${t}__flag_crash-hash")
+      assert(fs.delete(done, false), s"done flag for $t should have existed")
+      assert(fs.exists(new org.apache.hadoop.fs.Path(
+        s"$wd/inc_batch_b1_${t}_started__flag_crash-hash")),
+        s"started flag for $t must persist through the crash")
+    }
+
+    val s1r = inc.step(inc.emptyState, batchA, batchId = Some("b1"))
+    assert(s1r.signatures.count() == sig1, "replay double-appended the signature store")
+    assert(s1r.bands.count() == band1, "replay double-appended the band index")
+    assert(s1r.signatures.groupBy("node").count().where($"count" > 1).isEmpty,
+      "duplicate node rows after crash replay")
+  }
+
+  test("crash replay: started flag set but append never committed — replay appends exactly once") {
+    val cfg = GraftConfig.default
+    val wd = java.nio.file.Files.createTempDirectory("graft_inc_crash2").toString
+    val ck = new Checkpoints(spark, wd, "crash2-hash")
+    // simulate a crash AFTER the started flags landed but BEFORE either
+    // append job committed: the tables don't exist yet
+    ck.setFlag("inc_batch_b1_sigs_started")
+    ck.setFlag("inc_batch_b1_bands_started")
+    val inc = new IncrementalDedup(spark, cfg, Some(ck), bandBuckets = 8)
+    val s1 = inc.step(inc.emptyState, PagesGen.pages(spark, 60L).toDF(), batchId = Some("b1"))
+    assert(s1.signatures.count() == 60L, "the interrupted append must re-run")
+    assert(s1.bands.count() == 60L * cfg.lsh.bands)
+  }
+
+  test("legacy (pre-config-suffix) bucketed state dirs still resume and keep appending") {
+    import spark.implicits._
+    val wd = java.nio.file.Files.createTempDirectory("graft_ck_legacy").toString
+    val fs = new org.apache.hadoop.fs.Path(wd)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // build a table, then rewrite the layout to the legacy shape (data +
+    // bucketmeta sidecar at the UNSUFFIXED paths) as the previous release
+    // left it on disk
+    val ckOld = new Checkpoints(spark, wd, "old-hash")
+    ckOld.bucketedAppend("idx", Seq((1L, 10L), (2L, 20L)).toDF("key", "node"), "key", 4)
+    spark.catalog.listTables().collect().filter(_.name.startsWith("graft_idx"))
+      .foreach(t => spark.sql(s"DROP TABLE ${t.name}"))
+    assert(fs.rename(new org.apache.hadoop.fs.Path(s"$wd/idx__old-hash"),
+      new org.apache.hadoop.fs.Path(s"$wd/idx")))
+    assert(fs.rename(new org.apache.hadoop.fs.Path(s"$wd/idx__old-hash__bucketmeta.json"),
+      new org.apache.hadoop.fs.Path(s"$wd/idx__bucketmeta.json")))
+
+    // a NEW release (different config hash) must find the legacy table
+    // instead of stranding it behind "Path does not exist"
+    val ckNew = new Checkpoints(spark, wd, "new-hash")
+    val resumed = ckNew.bucketedTable("idx")
+    assert(resumed.isDefined && resumed.get.count() == 2,
+      "legacy-layout state dir was stranded")
+    // appends continue into the SAME (legacy) location — one consistent table
+    ckNew.bucketedAppend("idx", Seq((3L, 30L)).toDF("key", "node"), "key", 4)
+    assert(ckNew.bucketedTable("idx").get.count() == 3)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$wd/idx")) &&
+      !fs.exists(new org.apache.hadoop.fs.Path(s"$wd/idx__new-hash")),
+      "legacy resume must not fork a second data dir")
+  }
+
+  test("step releases its persisted intermediates (no Dataset-cache growth across folds)") {
+    spark.catalog.clearCache()
+    val inc = new IncrementalDedup(spark, GraftConfig.default)
+    val s1 = inc.step(inc.emptyState, PagesGen.pages(spark, 60L).toDF())
+    val s2 = inc.step(s1, spark.range(60L, 120L).map(id => PagesGen.pageOf(42L, id)).toDF())
+    assert(s2.labels.count() == 120L)
+    // every pin (rawSigs/newSigs/newBands/newEdges) registers in the
+    // CacheManager; the returned State frames are RDD-level localCheckpoints
+    // (no CacheManager entry) — so a clean sweep leaves the manager EMPTY.
+    // Pre-fix this held 3-4 entries PER FOLD forever.
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "a fold left Dataset caches registered in the CacheManager")
+  }
+
   test("bucketed tables are config-keyed in location: a config change never mixes rows") {
     val wd = java.nio.file.Files.createTempDirectory("graft_ck_cfg").toString
     import spark.implicits._

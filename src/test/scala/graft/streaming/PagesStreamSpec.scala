@@ -138,6 +138,44 @@ class PagesStreamSpec extends SparkSpec {
       s"dropped=${dropped.value}, keys=$distinctKeys")
   }
 
+  test("a NULL warc_ts row cannot kill the candidate stream (dropped; the rest still pairs)") {
+    val base = Files.createTempDirectory("graft-nullts-stream").toString
+    val in = s"$base/in"; val out = s"$base/out"; val ckpt = s"$base/ckpt"
+    new java.io.File(in).mkdirs()
+
+    val cfg = graft.config.GraftConfig.default
+    // identical html → identical minhash → the two timestamped pages are a
+    // guaranteed candidate pair; the third row has NO event time. A null
+    // event time passes the late-data predicate (null ≠ late) and reaches
+    // the state function — pre-guard, `_.ts.getTime` NPE'd there and the
+    // whole query died on one dirty crawl row.
+    val html = PagesGen.htmlOf("https://nt.example/p0",
+      "near duplicate body shared by every row of this spec. " * 30, "en")
+    Seq(
+      ("https://nt.example/p1", new java.sql.Timestamp(1735689600000L), html,
+        null.asInstanceOf[String], "en"),
+      ("https://nt.example/p2", new java.sql.Timestamp(1735689601000L), html,
+        null.asInstanceOf[String], "en"),
+      ("https://nt.example/pnull", null.asInstanceOf[java.sql.Timestamp], html,
+        null.asInstanceOf[String], "en"))
+      .toDF("url", "warc_ts", "html", "text", "lang")
+      .write.mode("append").parquet(in)
+
+    PagesStream.candidatePairStream(spark, in, out, ckpt, cfg, stateTtl = "365 days")
+      .awaitTermination() // pre-guard: StreamingQueryException (NPE in state fn)
+
+    val pairs = spark.read.parquet(out).select($"node_a", $"node_b").distinct()
+      .as[(Long, Long)].collect().toSet
+    assert(pairs.size == 1, s"expected exactly the p1-p2 pair, got $pairs")
+    val nullNode = graft.operators.MinHashLsh.signatures(
+      Seq(("https://nt.example/pnull", html))
+        .toDF("url", "html")
+        .select($"url", graft.functions.TextFunctions.extractText($"html").as("extracted_text")),
+      cfg).select($"node").as[Long].head()
+    assert(!pairs.head.productIterator.contains(nullNode),
+      "the null-ts row must not enter watermarked state")
+  }
+
   test("flatMapGroupsWithState candidate stream ≡ batch LSH candidates across two batches") {
     val base = Files.createTempDirectory("graft-cand-stream").toString
     val in = s"$base/in"; val out = s"$base/out"; val ckpt = s"$base/ckpt"
