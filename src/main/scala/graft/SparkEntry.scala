@@ -947,11 +947,26 @@ object SparkEntry {
     // reuse (and first wipe) one dir — but the path carries the pid so two
     // CONCURRENT runs on one host (e.g. a Verify overlapping a manual q58)
     // cannot delete each other's in-flight streaming checkpoint between the
-    // two drains. Deleting at START (not end) keeps the returned
-    // DataFrame's lazy parquet scan of `out` valid for the caller's write.
-    val base = s"${System.getProperty("java.io.tmpdir")}/graft_q58_p${ProcessHandle.current().pid()}"
+    // two drains. Dirs left by EXITED processes are reaped here (pid no
+    // longer alive ⇒ its dir is garbage), so successive fresh-JVM runs
+    // don't accumulate corpus-sized dirs until the disk fills. Deleting at
+    // START (not end) keeps the returned DataFrame's lazy parquet scan of
+    // `out` valid for the caller's write.
+    val tmpDir = System.getProperty("java.io.tmpdir")
+    val base = s"$tmpDir/graft_q58_p${ProcessHandle.current().pid()}"
     val basePath = new org.apache.hadoop.fs.Path(base)
-    basePath.getFileSystem(s.sparkContext.hadoopConfiguration).delete(basePath, true)
+    val hfs = basePath.getFileSystem(s.sparkContext.hadoopConfiguration)
+    Option(new java.io.File(tmpDir).listFiles()).toSeq.flatten
+      .filter(_.getName.startsWith("graft_q58_p"))
+      .foreach { d =>
+        val alive = d.getName.stripPrefix("graft_q58_p").toLongOption.exists { pid =>
+          val h = ProcessHandle.of(pid)
+          h.isPresent && h.get().isAlive
+        }
+        if (!alive)
+          hfs.delete(new org.apache.hadoop.fs.Path(d.getAbsolutePath), true): Unit
+      }
+    hfs.delete(basePath, true)
     val in = s"$base/in"; val out = s"$base/out"; val ck = s"$base/ckpt"
     // column-wise build (the events ts is TIMESTAMP_NTZ in parquet; cast in
     // the UTC session is lossless). htmlOf via a UDF: harness-only data

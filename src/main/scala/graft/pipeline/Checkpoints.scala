@@ -107,25 +107,36 @@ final class Checkpoints(spark: SparkSession, workDir: String, configHash: String
   // under different configs (e.g. band keys from two different LSH seeds)
   // into one index. The stage() meta-hash invalidation, applied to paths.
   //
-  // Migration fallback: state dirs written BEFORE the config-suffixed
-  // layout keep their data + bucketmeta sidecar at the unsuffixed path
-  // ($workDir/<name>). When the suffixed sidecar is absent but the legacy
-  // one exists, resume (and keep appending) THERE — stranding every
-  // pre-upgrade corpus behind a "Path does not exist" would be worse than
-  // the config-mixing risk the suffix guards against (the legacy layout
-  // was single-config per workDir by construction, and fresh state dirs
-  // always take the suffixed path). Resolution is cached per name so the
+  // Migration: state dirs written BEFORE the config-suffixed layout keep
+  // their data + bucketmeta sidecar at the unsuffixed path ($workDir/<name>).
+  // The FIRST config to touch such a dir ADOPTS it — data and sidecar are
+  // renamed to its suffixed location — so exactly one config inherits the
+  // legacy rows (stranding every pre-upgrade corpus behind "Path does not
+  // exist" would be worse) while any LATER config change still gets a fresh
+  // directory: a sticky read-in-place fallback would silently re-enable the
+  // cross-config row mixing the suffix exists to prevent (e.g. band keys
+  // from two LSH seeds in one index). Sidecar renames first; a crash
+  // between the two renames is healed on the next resolution (the
+  // data-dir-catch-up branch below). Resolution is cached per name so the
   // append that CREATES the suffixed sidecar cannot flip a later call of
-  // the same session back to the legacy path.
+  // the same session back to re-resolving.
   private val resolvedBucketPath = scala.collection.mutable.HashMap.empty[String, String]
   private def bucketedDataPath(name: String): String =
     resolvedBucketPath.getOrElseUpdate(name, {
       val suffixed = s"$workDir/${name}__$configHash"
       val legacy = s"$workDir/$name"
       val f = fs(workDir)
-      if (!f.exists(new Path(suffixed + "__bucketmeta.json")) &&
-          f.exists(new Path(legacy + "__bucketmeta.json"))) legacy
-      else suffixed
+      val sufMeta = new Path(suffixed + "__bucketmeta.json")
+      val legMeta = new Path(legacy + "__bucketmeta.json")
+      // finish a half-completed adoption: sidecar moved, data dir not yet
+      if (f.exists(sufMeta) && !f.exists(new Path(suffixed)) &&
+          f.exists(new Path(legacy)))
+        f.rename(new Path(legacy), new Path(suffixed)): Unit
+      if (!f.exists(sufMeta) && f.exists(legMeta) && f.rename(legMeta, sufMeta)) {
+        if (f.exists(new Path(legacy)))
+          f.rename(new Path(legacy), new Path(suffixed)): Unit
+      }
+      suffixed
     })
 
   def bucketedAppend(name: String, df: DataFrame, bucketCol: String,

@@ -137,15 +137,18 @@ final class IncrementalDedup(spark: SparkSession, cfg: GraftConfig = GraftConfig
     * cache instead — correct for the normal path, but a mid-append crash
     * then requires a fresh state dir.
     *
-    * Resource lifecycle: every intermediate this fold persists (rawSigs,
-    * newSigs, newBands, newEdges) is unpersisted before returning — the
-    * returned State frames are EAGER localCheckpoints (or bucketed-table
-    * scans), so nothing downstream re-reads the dropped caches. A driver
-    * looping step() over hundreds of batches otherwise accumulates 3-4
-    * pinned frames per fold until executor disks fill.
+    * Resource lifecycle: every intermediate this fold pins (rawSigs,
+    * newSigs, newBands, newEdges — Dataset persists AND the
+    * localCheckpointed novel snapshot of the no-batchId table path) is
+    * released before returning — the returned State frames are EAGER
+    * localCheckpoints (or bucketed-table scans), so nothing downstream
+    * re-reads the dropped blocks. A driver looping step() over hundreds of
+    * batches otherwise accumulates 3-4 pinned frames per fold until
+    * executor disks fill.
     */
   def step(state: State, newPages: DataFrame, batchId: Option[String] = None): State = {
     val persisted = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    val snapshots = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     def pin(df: DataFrame): DataFrame = {
       persisted += df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       df
@@ -171,8 +174,12 @@ final class IncrementalDedup(spark: SparkSession, cfg: GraftConfig = GraftConfig
         // fires recacheByPlan on every cache entry referencing the table,
         // RECOMPUTING the anti-join against the post-append table — which
         // self-cancels every node. localCheckpoint cuts the plan to a
-        // LogicalRDD with no table reference, immune to the refresh.
-        novel.localCheckpoint(true)
+        // LogicalRDD with no table reference, immune to the refresh. Its
+        // blocks don't register in the CacheManager, so the sweep below
+        // frees them via the LogicalRDD leaf directly.
+        val snap = novel.localCheckpoint(true)
+        snapshots += snap
+        snap
       case (None, None) =>
         // in-memory state frames are stable snapshots (localCheckpoint of
         // the previous fold), so laziness is safe
@@ -254,6 +261,12 @@ final class IncrementalDedup(spark: SparkSession, cfg: GraftConfig = GraftConfig
       allEdges.localCheckpoint(true),
       labels.localCheckpoint(true))
     persisted.foreach(_.unpersist(false))
+    // localCheckpoint blocks bypass the CacheManager — free them through
+    // the checkpointed RDD held by the snapshot's LogicalRDD leaf (safe:
+    // the State above is fully materialized and no longer references it)
+    snapshots.foreach(_.queryExecution.analyzed.collect {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+    }.foreach(_.unpersist(false)))
     next
   }
 

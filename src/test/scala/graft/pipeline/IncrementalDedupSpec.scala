@@ -297,12 +297,22 @@ class IncrementalDedupSpec extends SparkSpec {
     val resumed = ckNew.bucketedTable("idx")
     assert(resumed.isDefined && resumed.get.count() == 2,
       "legacy-layout state dir was stranded")
-    // appends continue into the SAME (legacy) location — one consistent table
+    // appends continue into ONE consistent table, now ADOPTED at the new
+    // config's suffixed location (data + sidecar renamed; legacy gone)
     ckNew.bucketedAppend("idx", Seq((3L, 30L)).toDF("key", "node"), "key", 4)
     assert(ckNew.bucketedTable("idx").get.count() == 3)
-    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$wd/idx")) &&
-      !fs.exists(new org.apache.hadoop.fs.Path(s"$wd/idx__new-hash")),
-      "legacy resume must not fork a second data dir")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$wd/idx__new-hash")) &&
+      !fs.exists(new org.apache.hadoop.fs.Path(s"$wd/idx")) &&
+      !fs.exists(new org.apache.hadoop.fs.Path(s"$wd/idx__bucketmeta.json")),
+      "legacy dir must be adopted (renamed), not read in place")
+    // exactly ONE config inherits: a LATER config change still gets a fresh
+    // table — a sticky in-place fallback would mix rows across configs here
+    val ckThird = new Checkpoints(spark, wd, "third-hash")
+    assert(ckThird.bucketedTable("idx").isEmpty,
+      "a later config must NOT see the adopted legacy rows")
+    val t3 = ckThird.bucketedAppend("idx", Seq((9L, 90L)).toDF("key", "node"), "key", 4)
+    assert(t3.count() == 1, "third config's table must start fresh")
+    assert(ckNew.bucketedTable("idx").get.count() == 3, "adopted table disturbed")
   }
 
   test("step releases its persisted intermediates (no Dataset-cache growth across folds)") {
