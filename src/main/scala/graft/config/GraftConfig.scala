@@ -231,12 +231,15 @@ object GraftConfig {
       // pipeline diverge on config.
       val df = spark.read.parquet(tablePath)
       // a NULL or non-numeric version cell resolves as version 0 (lowest
-      // precedence) instead of NPEing in getLong below
+      // precedence) instead of NPEing in getLong below — try_cast, not
+      // cast: under ANSI mode (Spark 4 default) a plain cast THROWS on a
+      // non-numeric string cell, failing every run that loads the table
       val withV =
         if (df.columns.contains("version"))
           df.select(col("key"), col("value"),
-            org.apache.spark.sql.functions
-              .coalesce(col("version").cast("long"), lit(0L)).as("v"))
+            org.apache.spark.sql.functions.coalesce(
+              org.apache.spark.sql.functions.expr("try_cast(version AS BIGINT)"),
+              lit(0L)).as("v"))
         else df.select(col("key"), col("value"), lit(0L).as("v"))
       val rows = withV
         .where(col("key").isNotNull && col("value").isNotNull)

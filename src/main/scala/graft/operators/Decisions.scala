@@ -121,8 +121,15 @@ object Decisions {
     val misses = joined.where(col("cached_decision").isNull)
       .drop("cached_decision", "cached_tier")
     val resolved = resolve(misses)
-    val newEntries = resolved.select(col("content_hash"), col("decision"), col("tier"))
-      .dropDuplicates("content_hash") // two pairs sharing a hash → one entry
+    // two pairs sharing a hash → one entry, reduced with the SAME
+    // min(struct) rule as the read side above: dropDuplicates would keep an
+    // arbitrary survivor, so a hash whose pairs resolved differently would
+    // persist a run-dependent cache entry — and poison every later run
+    val newEntries = resolved
+      .select(col("content_hash"), struct(col("decision"), col("tier")).as("__e"))
+      .groupBy("content_hash").agg(min(col("__e")).as("__e"))
+      .select(col("content_hash"),
+        col("__e.decision").as("decision"), col("__e.tier").as("tier"))
     (hits.unionByName(resolved), newEntries)
   }
 }

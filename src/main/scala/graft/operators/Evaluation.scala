@@ -34,8 +34,14 @@ object Evaluation {
     if (keys.length != 2) df
     else {
       val (ka, kb) = (keys.head, keys(1))
-      df.withColumn("__ka", least(col(ka), col(kb)))
-        .withColumn("__kb", greatest(col(ka), col(kb)))
+      // least/greatest SKIP nulls: a pair with one null key would collapse
+      // to a degenerate (x, x) and spuriously equi-join the other side's
+      // null-keyed garbage as a true positive. Null-keyed rows keep their
+      // original columns instead — null never equi-joins, so they count
+      // unmatched exactly as before canonicalization existed.
+      val anyNull = col(ka).isNull || col(kb).isNull
+      df.withColumn("__ka", when(anyNull, col(ka)).otherwise(least(col(ka), col(kb))))
+        .withColumn("__kb", when(anyNull, col(kb)).otherwise(greatest(col(ka), col(kb))))
         .drop(ka, kb)
         .withColumnRenamed("__ka", ka)
         .withColumnRenamed("__kb", kb)

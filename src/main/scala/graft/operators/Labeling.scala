@@ -64,12 +64,22 @@ object Labeling {
               "seq column to order them (first-answer-wins needs a prompt order)")
         // deterministic survivor for label-agreeing duplicates that differ
         // in auxiliary columns (notes, similarity): lexicographic min over
-        // the remaining fields — dropDuplicates keeps an arbitrary row
+        // the remaining fields — dropDuplicates keeps an arbitrary row.
+        // Guarded on orderability: a session frame carrying an unorderable
+        // aux column (e.g. a metadata MAP riding through) cannot feed
+        // min(struct) — AnalysisException — so such frames fall back to
+        // dropDuplicates (no total order over maps exists to be
+        // deterministic BY; exact duplicates still collapse identically).
         val others = accepted.columns.filterNot(Seq("id_a", "id_b").contains)
-        accepted.groupBy("id_a", "id_b")
-          .agg(min(struct(others.map(col): _*)).as("__m"))
-          .select((Seq(col("id_a"), col("id_b")) ++
-            others.map(f => col(s"__m.$f").as(f))): _*)
+        val allOrderable = others.forall(f =>
+          org.apache.spark.sql.catalyst.expressions.RowOrdering
+            .isOrderable(accepted.schema(f).dataType))
+        if (allOrderable)
+          accepted.groupBy("id_a", "id_b")
+            .agg(min(struct(others.map(col): _*)).as("__m"))
+            .select((Seq(col("id_a"), col("id_b")) ++
+              others.map(f => col(s"__m.$f").as(f))): _*)
+        else accepted.dropDuplicates("id_a", "id_b")
       }
     groundTruth.unionByName(resolved, allowMissingColumns = true)
   }

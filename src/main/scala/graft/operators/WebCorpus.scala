@@ -69,7 +69,12 @@ object WebCorpus {
       .agg(
         array_join(transform(array_sort(collect_list(struct(col("pos"), col("line")))),
           s => s.getField("line")), "\n").as("clean_text"),
-        count(lit(1)).as("n_kept_lines"))
+        // blank structural lines survive the filter above but must NOT
+        // count as kept content: a doc whose every CONTENT line was
+        // boilerplate must still report n_kept_lines = 0 so the downstream
+        // quality gate can drop the empty husk (its clean_text is then
+        // whitespace-only)
+        count(when(length(trim(col("line"))) > 0, 1)).as("n_kept_lines"))
     val ids = docs.select(col(idCol).as("id_base"))
     ids.join(reassembled, ids("id_base") === reassembled("doc_ref"), "left")
       .select(col("id_base").as(idCol),

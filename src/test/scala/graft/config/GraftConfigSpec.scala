@@ -92,4 +92,18 @@ class GraftConfigSpec extends AnyFunSuite {
     val cfg = GraftConfig.fromTable(spark, dir)
     assert(cfg.thresholds.high == 0.9, "highest non-null version must win")
   }
+
+  test("table overrides tolerate a NON-NUMERIC version cell (ANSI-safe try_cast)") {
+    // Spark 4 runs ANSI mode by default: a plain cast("long") on "v-two"
+    // would THROW at the config read and fail every pipeline run that loads
+    // the table — try_cast resolves it as version 0 (lowest precedence)
+    val spark = graft.SparkSpec.session
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_cfg_badv").toString + "/cfg"
+    Seq(("thresholds.high", "0.9", "2"), ("thresholds.high", "0.8", "v-two"))
+      .toDF("key", "value", "version")
+      .write.parquet(dir)
+    val cfg = GraftConfig.fromTable(spark, dir)
+    assert(cfg.thresholds.high == 0.9, "numeric version 2 must outrank the garbage cell")
+  }
 }

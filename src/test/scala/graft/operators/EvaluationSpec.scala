@@ -85,6 +85,19 @@ class EvaluationSpec extends SparkSpec {
     assert(aggs == 2, s"expected 2 Aggregates (pair-dedup + confusion), got $aggs:\n$plan")
   }
 
+  test("pairMetrics: null-keyed pairs never match (no degenerate least/greatest collapse)") {
+    // least/greatest skip nulls, so (null, u2) and (u2, null) would BOTH
+    // canonicalize to (u2, u2) and spuriously equi-join as a TP; null keys
+    // must stay unjoinable (dirty extraction output is where they occur)
+    val nullTruth = Seq((Option.empty[String], Some("u2"), "same"),
+      (Some("a"), Some("b"), "same")).toDF("url_a", "url_b", "label")
+    val pred = Seq((Some("u2"), Option.empty[String]), (Some("b"), Some("a")))
+      .toDF("url_a", "url_b")
+    val m = Evaluation.pairMetrics(pred, nullTruth).collect()(0)
+    assert(m.getAs[Long]("tp") == 1, "only (a,b) may match")
+    assert(m.getAs[Long]("fn") == 1, "the null-keyed truth pair must stay unmatched")
+  }
+
   test("plan audit: pairMetrics is one aggregate, one action") {
     val pred = Seq(("a", "b")).toDF("url_a", "url_b")
     val df = Evaluation.pairMetrics(pred, truth)

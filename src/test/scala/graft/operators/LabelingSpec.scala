@@ -64,6 +64,18 @@ class LabelingSpec extends SparkSpec {
     assert(e.getMessage.contains("conflicting verdicts"))
   }
 
+  test("applyLabels without seq: unorderable aux columns don't crash the fold") {
+    // a session frame carrying a MAP metadata column cannot feed the
+    // min(struct) deterministic reduce (maps have no total order) — the
+    // fold must fall back to plain duplicate-collapse, not AnalysisException
+    val session = Seq(("a", "c", "same"), ("a", "c", "same"))
+      .toDF("id_a", "id_b", "label")
+      .withColumn("meta", map(lit("src"), lit("cli")))
+    val folded = Labeling.applyLabels(truth, session)
+    assert(folded.count() == 2, "exact duplicates with a map column must collapse")
+    assert(folded.where($"id_a" === "a" && $"id_b" === "c").count() == 1)
+  }
+
   test("stats counts labels (labeling_tool.py:179-207)") {
     val gt = Seq(("a", "b", "same"), ("a", "c", "same"), ("c", "d", "different"))
       .toDF("id_a", "id_b", "label")

@@ -60,6 +60,22 @@ class ReviewSpec extends SparkSpec {
     assert(entries.count() == 1)
   }
 
+  test("A2 decision cache: conflicting same-hash resolutions persist one deterministic entry") {
+    // hash-colliding pairs whose resolver answers DIFFER: the persisted
+    // entry must be the min(struct) reduce (same rule as the read side),
+    // not whichever row's task finished first — a run-dependent cache
+    // entry would poison every later run's cached decision
+    val pairs = Seq((1L, 2L, "hx"), (3L, 4L, "hx")).toDF("node_a", "node_b", "content_hash")
+    val (_, entries) = Decisions.resolveWithCache(pairs,
+      Seq.empty[(String, String, String)].toDF("content_hash", "decision", "tier")) { m =>
+      m.withColumn("decision",
+          when($"node_a" === 1L, lit("match")).otherwise(lit("no_match")))
+        .withColumn("tier", lit("r"))
+    }
+    val e = entries.as[(String, String, String)].collect().toSeq
+    assert(e == Seq(("hx", "match", "r")), s"non-deterministic cache entry: $e")
+  }
+
   test("Q9 review queue: flagged-or-uncertain ordered by confidence, paginated") {
     val clusters = Seq(
       (1L, 3L, false, Some(0.5)), // uncertain

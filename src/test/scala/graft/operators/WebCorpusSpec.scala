@@ -34,7 +34,25 @@ class WebCorpusSpec extends SparkSpec {
     ).toDF("doc_id", "text")
     val got = WebCorpus.removeBoilerplate(docs, "doc_id", "text", minDocs = 3L)
       .orderBy("doc_id").as[(Long, String, Long)].collect().toSeq
-    assert(got.head == ((1L, "para one\n\npara two", 3L)))
+    // the blank line survives IN clean_text but does not count as kept
+    // CONTENT (n_kept_lines = 2, not 3 — see the empty-husk gate test)
+    assert(got.head == ((1L, "para one\n\npara two", 2L)))
+  }
+
+  test("removeBoilerplate: kept blank lines never count toward n_kept_lines") {
+    // doc 1's every CONTENT line is boilerplate; the blank line between
+    // them survives (structure) but the doc must still report
+    // n_kept_lines = 0 so a downstream `n_kept_lines > 0` quality gate
+    // drops the empty husk instead of passing it into the corpus
+    val docs = Seq(
+      (1L, "BANNER\n\nFOOTER"),
+      (2L, "BANNER\ncontent two\nFOOTER"),
+      (3L, "BANNER\ncontent three\nFOOTER")
+    ).toDF("doc_id", "text")
+    val got = WebCorpus.removeBoilerplate(docs, "doc_id", "text", minDocs = 3L)
+      .orderBy("doc_id").as[(Long, String, Long)].collect().toSeq
+    assert(got(0) == ((1L, "", 0L)), s"empty husk leaked: ${got(0)}")
+    assert(got(1) == ((2L, "content two", 1L)))
   }
 
   test("lineDocFrequency counts distinct docs, not occurrences") {
