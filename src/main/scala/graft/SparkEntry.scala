@@ -956,16 +956,24 @@ object SparkEntry {
     val base = s"$tmpDir/graft_q58_p${ProcessHandle.current().pid()}"
     val basePath = new org.apache.hadoop.fs.Path(base)
     val hfs = basePath.getFileSystem(s.sparkContext.hadoopConfiguration)
-    Option(new java.io.File(tmpDir).listFiles()).toSeq.flatten
-      .filter(_.getName.startsWith("graft_q58_p"))
-      .foreach { d =>
-        val alive = d.getName.stripPrefix("graft_q58_p").toLongOption.exists { pid =>
-          val h = ProcessHandle.of(pid)
-          h.isPresent && h.get().isAlive
-        }
-        if (!alive)
-          hfs.delete(new org.apache.hadoop.fs.Path(d.getAbsolutePath), true): Unit
+    // reap ONLY when the resolved FS is local: the listing must come from
+    // the SAME filesystem the dirs are created on (a java.io listing of
+    // /tmp would miss dirs a non-local fs.defaultFS resolved elsewhere),
+    // and pid-liveness proves ownership only for processes on THIS host —
+    // on a shared FS a dead local pid says nothing about the dir's owner.
+    if (hfs.getUri.getScheme == "file") {
+      val tmpPath = new org.apache.hadoop.fs.Path(tmpDir)
+      val stale =
+        try hfs.listStatus(tmpPath).toSeq catch { case _: Throwable => Seq.empty }
+      stale.filter(_.getPath.getName.startsWith("graft_q58_p")).foreach { st =>
+        val alive = st.getPath.getName.stripPrefix("graft_q58_p").toLongOption
+          .exists { pid =>
+            val h = ProcessHandle.of(pid)
+            h.isPresent && h.get().isAlive
+          }
+        if (!alive) hfs.delete(st.getPath, true): Unit
       }
+    }
     hfs.delete(basePath, true)
     val in = s"$base/in"; val out = s"$base/out"; val ck = s"$base/ckpt"
     // column-wise build (the events ts is TIMESTAMP_NTZ in parquet; cast in
@@ -1458,10 +1466,12 @@ object SparkEntry {
         |  UNION ALL SELECT doc_id, 3, 'promo ' || CAST(doc_id % 7 AS VARCHAR) FROM documents
         |  UNION ALL SELECT doc_id, 4, 'pair ' || CAST(doc_id % 250 AS VARCHAR) FROM documents),
         | freq AS (SELECT ln, count(DISTINCT doc_id) AS df FROM lines GROUP BY ln),
-        | kept AS (SELECT l.doc_id, l.pos, l.ln FROM lines l JOIN freq f ON l.ln = f.ln WHERE f.df < 10)
+        | kept AS (SELECT l.doc_id, l.pos, l.ln FROM lines l JOIN freq f ON l.ln = f.ln
+        |   WHERE f.df < 10 OR length(trim(l.ln)) = 0)
         | SELECT doc_id, string_agg(ln, chr(10) ORDER BY pos) AS clean_text,
-        |  count(*) AS n_kept_lines
-        | FROM kept GROUP BY doc_id""".stripMargin,
+        |  count(*) FILTER (WHERE length(trim(ln)) > 0) AS n_kept_lines
+        | FROM kept GROUP BY doc_id
+        | HAVING count(*) FILTER (WHERE length(trim(ln)) > 0) > 0""".stripMargin,
     "q42_repetition_metrics" ->
       """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
         |  FROM documents WHERE length(trim(text)) > 0),

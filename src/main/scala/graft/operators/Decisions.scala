@@ -108,11 +108,9 @@ object Decisions {
     // (same content folded twice) would multiply every hit's pair rows.
     // min(struct) keeps the reduce deterministic even on a conflicting
     // cache (which same-content hashing should never produce).
-    val cached = cache.select(col("content_hash"),
-      struct(col("decision"), col("tier")).as("__e"))
-      .groupBy("content_hash").agg(min(col("__e")).as("__e"))
-      .select(col("content_hash"),
-        col("__e.decision").as("cached_decision"), col("__e.tier").as("cached_tier"))
+    val cached = canonicalEntries(cache)
+      .withColumnRenamed("decision", "cached_decision")
+      .withColumnRenamed("tier", "cached_tier")
     val joined = pairs.join(cached, Seq("content_hash"), "left")
     val hits = joined.where(col("cached_decision").isNotNull)
       .withColumn("decision", col("cached_decision"))
@@ -122,14 +120,27 @@ object Decisions {
       .drop("cached_decision", "cached_tier")
     val resolved = resolve(misses)
     // two pairs sharing a hash → one entry, reduced with the SAME
-    // min(struct) rule as the read side above: dropDuplicates would keep an
+    // min(struct) rule as the read side: dropDuplicates would keep an
     // arbitrary survivor, so a hash whose pairs resolved differently would
     // persist a run-dependent cache entry — and poison every later run
-    val newEntries = resolved
-      .select(col("content_hash"), struct(col("decision"), col("tier")).as("__e"))
+    val newEntries = canonicalEntries(resolved)
+    // the RETURNED decisions must agree with the PERSISTED entries, or the
+    // first run's output would disagree with every later cache-hit run on
+    // a hash whose pairs resolved differently: rewrite each resolved row's
+    // decision/tier from its canonical entry before the union
+    val resolvedCanon = resolved.drop("decision", "tier")
+      .join(newEntries, Seq("content_hash"), "left")
+    (hits.unionByName(resolvedCanon), newEntries)
+  }
+
+  /** One deterministic (content_hash, decision, tier) row per hash — the
+    * single canonicalization rule shared by the cache's read AND write
+    * sides (they must stay identical for cache-hit runs to reproduce
+    * first-run output).
+    */
+  private def canonicalEntries(entries: DataFrame): DataFrame =
+    entries.select(col("content_hash"), struct(col("decision"), col("tier")).as("__e"))
       .groupBy("content_hash").agg(min(col("__e")).as("__e"))
       .select(col("content_hash"),
         col("__e.decision").as("decision"), col("__e.tier").as("tier"))
-    (hits.unionByName(resolved), newEntries)
-  }
 }

@@ -65,21 +65,28 @@ object Labeling {
         // deterministic survivor for label-agreeing duplicates that differ
         // in auxiliary columns (notes, similarity): lexicographic min over
         // the remaining fields — dropDuplicates keeps an arbitrary row.
-        // Guarded on orderability: a session frame carrying an unorderable
-        // aux column (e.g. a metadata MAP riding through) cannot feed
-        // min(struct) — AnalysisException — so such frames fall back to
-        // dropDuplicates (no total order over maps exists to be
-        // deterministic BY; exact duplicates still collapse identically).
+        // A session frame carrying an UNORDERABLE aux column (e.g. a
+        // metadata MAP riding through) cannot feed min(struct)
+        // (AnalysisException); it falls to a row_number window ordered by
+        // the orderable subset — still deterministic whenever any orderable
+        // column distinguishes the duplicates (label always does for
+        // conflicts-in-waiting; ties that differ ONLY in unorderable
+        // columns have no total order to be deterministic by).
         val others = accepted.columns.filterNot(Seq("id_a", "id_b").contains)
-        val allOrderable = others.forall(f =>
+        val orderable = others.filter(f =>
           org.apache.spark.sql.catalyst.expressions.RowOrdering
             .isOrderable(accepted.schema(f).dataType))
-        if (allOrderable)
+        if (orderable.length == others.length)
           accepted.groupBy("id_a", "id_b")
             .agg(min(struct(others.map(col): _*)).as("__m"))
             .select((Seq(col("id_a"), col("id_b")) ++
               others.map(f => col(s"__m.$f").as(f))): _*)
-        else accepted.dropDuplicates("id_a", "id_b")
+        else if (orderable.nonEmpty) {
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy("id_a", "id_b").orderBy(orderable.map(col): _*)
+          accepted.withColumn("__rn", row_number().over(w))
+            .where(col("__rn") === 1).drop("__rn")
+        } else accepted.dropDuplicates("id_a", "id_b")
       }
     groundTruth.unionByName(resolved, allowMissingColumns = true)
   }

@@ -128,13 +128,28 @@ final class Checkpoints(spark: SparkSession, workDir: String, configHash: String
       val f = fs(workDir)
       val sufMeta = new Path(suffixed + "__bucketmeta.json")
       val legMeta = new Path(legacy + "__bucketmeta.json")
+      // Rename results are CHECKED and failures THROW: a silently failed
+      // data-dir rename after the sidecar moved would let this config's
+      // first append write into the suffixed dir, permanently blocking the
+      // heal below and losing the legacy rows without a trace. Renames are
+      // atomic on HDFS/local; on object stores (copy+delete) adoption is a
+      // one-time migration step — run it once, or pre-move the dir
+      // manually. (A snapshotting table format — the Iceberg seam — is the
+      // real fix at that tier.)
+      def renameOrThrow(src: Path, dst: Path): Unit =
+        if (!f.rename(src, dst))
+          throw new IllegalStateException(
+            s"legacy bucketed-table adoption failed: rename $src -> $dst " +
+              "returned false; move the legacy dir+sidecar to the suffixed " +
+              "path manually and retry")
       // finish a half-completed adoption: sidecar moved, data dir not yet
       if (f.exists(sufMeta) && !f.exists(new Path(suffixed)) &&
           f.exists(new Path(legacy)))
-        f.rename(new Path(legacy), new Path(suffixed)): Unit
-      if (!f.exists(sufMeta) && f.exists(legMeta) && f.rename(legMeta, sufMeta)) {
+        renameOrThrow(new Path(legacy), new Path(suffixed))
+      if (!f.exists(sufMeta) && f.exists(legMeta)) {
+        renameOrThrow(legMeta, sufMeta)
         if (f.exists(new Path(legacy)))
-          f.rename(new Path(legacy), new Path(suffixed)): Unit
+          renameOrThrow(new Path(legacy), new Path(suffixed))
       }
       suffixed
     })

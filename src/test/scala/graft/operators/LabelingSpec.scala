@@ -67,13 +67,18 @@ class LabelingSpec extends SparkSpec {
   test("applyLabels without seq: unorderable aux columns don't crash the fold") {
     // a session frame carrying a MAP metadata column cannot feed the
     // min(struct) deterministic reduce (maps have no total order) — the
-    // fold must fall back to plain duplicate-collapse, not AnalysisException
-    val session = Seq(("a", "c", "same"), ("a", "c", "same"))
-      .toDF("id_a", "id_b", "label")
+    // fold must fall back to a row_number over the ORDERABLE subset, not
+    // AnalysisException, and stay deterministic wherever an orderable
+    // column distinguishes the duplicates
+    val session = Seq(("a", "c", "same", "note-x"), ("a", "c", "same", "note-y"))
+      .toDF("id_a", "id_b", "label", "note")
       .withColumn("meta", map(lit("src"), lit("cli")))
     val folded = Labeling.applyLabels(truth, session)
-    assert(folded.count() == 2, "exact duplicates with a map column must collapse")
-    assert(folded.where($"id_a" === "a" && $"id_b" === "c").count() == 1)
+    assert(folded.count() == 2, "duplicates with a map column must collapse")
+    val note = folded.where($"id_a" === "a" && $"id_b" === "c")
+      .select("note").as[String].collect().toSeq
+    assert(note == Seq("note-x"),
+      s"survivor must be deterministic over the orderable columns: $note")
   }
 
   test("stats counts labels (labeling_tool.py:179-207)") {

@@ -66,7 +66,7 @@ class ReviewSpec extends SparkSpec {
     // not whichever row's task finished first — a run-dependent cache
     // entry would poison every later run's cached decision
     val pairs = Seq((1L, 2L, "hx"), (3L, 4L, "hx")).toDF("node_a", "node_b", "content_hash")
-    val (_, entries) = Decisions.resolveWithCache(pairs,
+    val (decisions, entries) = Decisions.resolveWithCache(pairs,
       Seq.empty[(String, String, String)].toDF("content_hash", "decision", "tier")) { m =>
       m.withColumn("decision",
           when($"node_a" === 1L, lit("match")).otherwise(lit("no_match")))
@@ -74,6 +74,11 @@ class ReviewSpec extends SparkSpec {
     }
     val e = entries.as[(String, String, String)].collect().toSeq
     assert(e == Seq(("hx", "match", "r")), s"non-deterministic cache entry: $e")
+    // the RETURNED decisions must agree with the persisted entry — else the
+    // first run's output differs from every later cache-hit run
+    val d = decisions.select("node_a", "decision").as[(Long, String)].collect().toMap
+    assert(d == Map(1L -> "match", 3L -> "match"),
+      s"returned decisions diverge from the persisted cache entry: $d")
   }
 
   test("Q9 review queue: flagged-or-uncertain ordered by confidence, paginated") {
