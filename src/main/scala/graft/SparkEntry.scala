@@ -964,7 +964,8 @@ object SparkEntry {
     if (hfs.getUri.getScheme == "file") {
       val tmpPath = new org.apache.hadoop.fs.Path(tmpDir)
       val stale =
-        try hfs.listStatus(tmpPath).toSeq catch { case _: Throwable => Seq.empty }
+        try hfs.listStatus(tmpPath).toSeq
+        catch { case _: java.io.IOException => Seq.empty }
       stale.filter(_.getPath.getName.startsWith("graft_q58_p")).foreach { st =>
         val alive = st.getPath.getName.stripPrefix("graft_q58_p").toLongOption
           .exists { pid =>

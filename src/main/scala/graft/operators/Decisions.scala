@@ -118,19 +118,34 @@ object Decisions {
       .drop("cached_decision", "cached_tier")
     val misses = joined.where(col("cached_decision").isNull)
       .drop("cached_decision", "cached_tier")
-    val resolved = resolve(misses)
+    // lazy localCheckpoint pins ONE evaluation of the resolver: the subtree
+    // below feeds three consumers (the canonical reduce, the rewrite join's
+    // probe side, and the caller's newEntries action) — without the pin an
+    // expensive tier-2 resolve would run once per consumer, and a
+    // non-deterministic resolver (the AI seam this cache memoizes) could
+    // even persist entries that differ from the decisions already returned.
+    // Blocks are released by the ContextCleaner once the returned frames
+    // are unreferenced; decisions frames are ambiguous-band-sized, not
+    // corpus-sized.
+    val resolved = resolve(misses).localCheckpoint(false)
+    // NULL content hashes bypass the cache on BOTH sides: a null key never
+    // equi-joins (always a miss above), and persisting a null-hash entry
+    // would canonically merge UNRELATED contents that happen to lack a
+    // hash. Such rows keep their own resolver verdict verbatim.
+    val resolvedNull = resolved.where(col("content_hash").isNull)
+    val resolvedHashed = resolved.where(col("content_hash").isNotNull)
     // two pairs sharing a hash → one entry, reduced with the SAME
     // min(struct) rule as the read side: dropDuplicates would keep an
     // arbitrary survivor, so a hash whose pairs resolved differently would
     // persist a run-dependent cache entry — and poison every later run
-    val newEntries = canonicalEntries(resolved)
+    val newEntries = canonicalEntries(resolvedHashed)
     // the RETURNED decisions must agree with the PERSISTED entries, or the
     // first run's output would disagree with every later cache-hit run on
     // a hash whose pairs resolved differently: rewrite each resolved row's
     // decision/tier from its canonical entry before the union
-    val resolvedCanon = resolved.drop("decision", "tier")
+    val resolvedCanon = resolvedHashed.drop("decision", "tier")
       .join(newEntries, Seq("content_hash"), "left")
-    (hits.unionByName(resolvedCanon), newEntries)
+    (hits.unionByName(resolvedCanon).unionByName(resolvedNull), newEntries)
   }
 
   /** One deterministic (content_hash, decision, tier) row per hash — the

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Ground-truth labeling session surface — the data semantics of the
@@ -49,12 +49,8 @@ object Labeling {
       .where(col("label").isin("same", "different"))
       .join(groundTruth.select("id_a", "id_b"), Seq("id_a", "id_b"), "left_anti")
     val resolved =
-      if (accepted.columns.contains("seq")) {
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy("id_a", "id_b").orderBy(col("seq"))
-        accepted.withColumn("__rn", row_number().over(w))
-          .where(col("__rn") === 1).drop("__rn")
-      } else {
+      if (accepted.columns.contains("seq")) firstRowBy(accepted, Seq(col("seq")))
+      else {
         val conflicts = accepted.groupBy("id_a", "id_b")
           .agg(countDistinct("label").as("n")).where(col("n") > 1)
         // session frames are human-sized; the eager check is cheap
@@ -81,14 +77,22 @@ object Labeling {
             .agg(min(struct(others.map(col): _*)).as("__m"))
             .select((Seq(col("id_a"), col("id_b")) ++
               others.map(f => col(s"__m.$f").as(f))): _*)
-        else if (orderable.nonEmpty) {
-          val w = org.apache.spark.sql.expressions.Window
-            .partitionBy("id_a", "id_b").orderBy(orderable.map(col): _*)
-          accepted.withColumn("__rn", row_number().over(w))
-            .where(col("__rn") === 1).drop("__rn")
-        } else accepted.dropDuplicates("id_a", "id_b")
+        else if (orderable.nonEmpty)
+          firstRowBy(accepted, orderable.map(col).toSeq)
+        else accepted.dropDuplicates("id_a", "id_b")
       }
     groundTruth.unionByName(resolved, allowMissingColumns = true)
+  }
+
+  /** Deterministic per-pair survivor: the first row under `order` within
+    * each (id_a, id_b) group — the one dedup shape shared by the seq branch
+    * (prompt order) and the partially-orderable fallback.
+    */
+  private def firstRowBy(df: DataFrame, order: Seq[Column]): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("id_a", "id_b").orderBy(order: _*)
+    df.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1).drop("__rn")
   }
 
   /** get_labeling_stats (labeling_tool.py:179-207): one row of

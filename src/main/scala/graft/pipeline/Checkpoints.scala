@@ -136,8 +136,11 @@ final class Checkpoints(spark: SparkSession, workDir: String, configHash: String
       // one-time migration step — run it once, or pre-move the dir
       // manually. (A snapshotting table format — the Iceberg seam — is the
       // real fix at that tier.)
+      // a failed rename is benign when the desired end state already holds
+      // (a concurrent session won the adoption race) — only a rename that
+      // leaves the source in place is a real failure
       def renameOrThrow(src: Path, dst: Path): Unit =
-        if (!f.rename(src, dst))
+        if (!f.rename(src, dst) && !(f.exists(dst) && !f.exists(src)))
           throw new IllegalStateException(
             s"legacy bucketed-table adoption failed: rename $src -> $dst " +
               "returned false; move the legacy dir+sidecar to the suffixed " +

@@ -81,6 +81,26 @@ class ReviewSpec extends SparkSpec {
       s"returned decisions diverge from the persisted cache entry: $d")
   }
 
+  test("A2 decision cache: NULL content hashes bypass the cache, never lose their verdict") {
+    // a null hash (e.g. sha2 over NULL text) can't equi-join: it must miss
+    // the cache, keep its OWN resolver verdict in the returned frame, and
+    // never persist an entry (a null-hash entry would canonically merge
+    // unrelated contents)
+    val pairs = Seq((1L, 2L, Some("h1")), (3L, 4L, Option.empty[String]))
+      .toDF("node_a", "node_b", "content_hash")
+    val (decisions, entries) = Decisions.resolveWithCache(pairs,
+      Seq.empty[(String, String, String)].toDF("content_hash", "decision", "tier")) { m =>
+      m.withColumn("decision", lit("no_match")).withColumn("tier", lit("r"))
+    }
+    val d = decisions.select("node_a", "decision", "tier")
+      .as[(Long, String, String)].collect()
+      .map { case (k, v, t) => k -> ((v, t)) }.toMap
+    assert(d(3L) == (("no_match", "r")), s"null-hash pair lost its resolution: $d")
+    assert(entries.where($"content_hash".isNull).count() == 0,
+      "a null-hash cache entry must never persist")
+    assert(entries.count() == 1)
+  }
+
   test("Q9 review queue: flagged-or-uncertain ordered by confidence, paginated") {
     val clusters = Seq(
       (1L, 3L, false, Some(0.5)), // uncertain
