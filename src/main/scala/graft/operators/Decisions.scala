@@ -126,7 +126,14 @@ object Decisions {
     // even persist entries that differ from the decisions already returned.
     // Blocks are released by the ContextCleaner once the returned frames
     // are unreferenced; decisions frames are ambiguous-band-sized, not
-    // corpus-sized.
+    // corpus-sized. Deliberate tradeoff: the pin makes these frames
+    // NON-recomputable — losing a checkpoint block (executor
+    // decommission/preemption between the caller's actions) fails the job
+    // hard instead of silently re-running the resolver, because a silent
+    // recompute of a non-deterministic resolver could return decisions that
+    // disagree with cache entries already persisted. Callers needing
+    // durability across executor loss should persist the decisions frame
+    // through the Checkpoints seam between actions.
     val resolved = resolve(misses).localCheckpoint(false)
     // NULL content hashes bypass the cache on BOTH sides: a null key never
     // equi-joins (always a miss above), and persisting a null-hash entry

@@ -150,9 +150,22 @@ final class Checkpoints(spark: SparkSession, workDir: String, configHash: String
           f.exists(new Path(legacy)))
         renameOrThrow(new Path(legacy), new Path(suffixed))
       if (!f.exists(sufMeta) && f.exists(legMeta)) {
-        renameOrThrow(legMeta, sufMeta)
-        if (f.exists(new Path(legacy)))
-          renameOrThrow(new Path(legacy), new Path(suffixed))
+        // the adoption race can also be lost to a session with a DIFFERENT
+        // config: its winning rename moves the legacy sidecar to ITS
+        // suffixed path, so our dst never appears — but the designed end
+        // state (exactly one config adopts the legacy rows) already holds.
+        // Only a failed rename that LEAVES the legacy sidecar in place is a
+        // real failure; a vanished sidecar means proceed with the fresh dir.
+        val adopted = f.rename(legMeta, sufMeta) ||
+          (f.exists(sufMeta) && !f.exists(legMeta))
+        if (adopted) {
+          if (f.exists(new Path(legacy)))
+            renameOrThrow(new Path(legacy), new Path(suffixed))
+        } else if (f.exists(legMeta))
+          throw new IllegalStateException(
+            s"legacy bucketed-table adoption failed: rename $legMeta -> " +
+              s"$sufMeta returned false; move the legacy dir+sidecar to " +
+              "the suffixed path manually and retry")
       }
       suffixed
     })

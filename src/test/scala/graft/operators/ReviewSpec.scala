@@ -92,6 +92,11 @@ class ReviewSpec extends SparkSpec {
       Seq.empty[(String, String, String)].toDF("content_hash", "decision", "tier")) { m =>
       m.withColumn("decision", lit("no_match")).withColumn("tier", lit("r"))
     }
+    // cardinality pinned BEFORE collapsing to a map: a regression that
+    // routes the null-hash row through both union branches (or duplicates
+    // the hashed row) would be masked by toMap keeping one row per key
+    assert(decisions.count() == 2,
+      s"expected exactly one output row per input pair, got ${decisions.count()}")
     val d = decisions.select("node_a", "decision", "tier")
       .as[(Long, String, String)].collect()
       .map { case (k, v, t) => k -> ((v, t)) }.toMap

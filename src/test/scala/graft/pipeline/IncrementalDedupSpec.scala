@@ -315,6 +315,50 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(ckNew.bucketedTable("idx").get.count() == 3, "adopted table disturbed")
   }
 
+  test("concurrent DIFFERENT-config sessions racing legacy adoption never throw; exactly one adopts") {
+    // two sessions with different config hashes resolve the same legacy dir
+    // simultaneously: the loser's sidecar rename fails with ITS destination
+    // absent (the winner moved the sidecar to the winner's path) — that end
+    // state is the designed outcome and must NOT surface as the manual-
+    // intervention IllegalStateException; the loser proceeds with a fresh
+    // suffixed dir. Repeated to widen the check→rename race window.
+    for (i <- 1 to 3) {
+      val wd = java.nio.file.Files.createTempDirectory(s"graft_ck_race$i").toString
+      val fs = new org.apache.hadoop.fs.Path(wd)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val ckOld = new Checkpoints(spark, wd, "old-hash")
+      ckOld.bucketedAppend("idx", Seq((1L, 10L), (2L, 20L)).toDF("key", "node"), "key", 4)
+      spark.catalog.listTables().collect().filter(_.name.startsWith("graft_idx"))
+        .foreach(t => spark.sql(s"DROP TABLE ${t.name}"))
+      assert(fs.rename(new org.apache.hadoop.fs.Path(s"$wd/idx__old-hash"),
+        new org.apache.hadoop.fs.Path(s"$wd/idx")))
+      assert(fs.rename(new org.apache.hadoop.fs.Path(s"$wd/idx__old-hash__bucketmeta.json"),
+        new org.apache.hadoop.fs.Path(s"$wd/idx__bucketmeta.json")))
+
+      val barrier = new java.util.concurrent.CyclicBarrier(2)
+      val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      val counts = new java.util.concurrent.ConcurrentHashMap[String, Long]()
+      val threads = Seq("race-a", "race-b").map { h =>
+        new Thread(() => {
+          try {
+            val ck = new Checkpoints(spark, wd, h)
+            barrier.await()
+            counts.put(h, ck.bucketedTable("idx").map(_.count()).getOrElse(-1L))
+          } catch { case t: Throwable => errs.add(t) }
+        })
+      }
+      threads.foreach(_.start())
+      threads.foreach(_.join(120000))
+      assert(counts.size == 2, s"a racing session hung or died: $counts / $errs")
+      assert(errs.isEmpty, s"adoption race threw: $errs")
+      val outcome = Seq("race-a", "race-b").map(counts.get(_)).sorted
+      assert(outcome == Seq(-1L, 2L),
+        s"exactly one config must adopt the 2 legacy rows, the other starts fresh: $counts")
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$wd/idx__bucketmeta.json")),
+        "the legacy sidecar must be adopted (renamed away)")
+    }
+  }
+
   test("step releases its persisted intermediates (no Dataset-cache growth across folds)") {
     spark.catalog.clearCache()
     val inc = new IncrementalDedup(spark, GraftConfig.default)
