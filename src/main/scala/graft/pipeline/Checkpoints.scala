@@ -138,9 +138,15 @@ final class Checkpoints(spark: SparkSession, workDir: String, configHash: String
       // real fix at that tier.)
       // a failed rename is benign when the desired end state already holds
       // (a concurrent session won the adoption race) — only a rename that
-      // leaves the source in place is a real failure
+      // leaves the source in place is a real failure. Losing the race can
+      // surface as `false` OR as FileNotFoundException: LocalFileSystem's
+      // rename falls back to a copy that stats the source, so a source
+      // vanishing mid-rename THROWS instead of returning false.
+      def tryRename(src: Path, dst: Path): Boolean =
+        try f.rename(src, dst)
+        catch { case _: java.io.FileNotFoundException => false }
       def renameOrThrow(src: Path, dst: Path): Unit =
-        if (!f.rename(src, dst) && !(f.exists(dst) && !f.exists(src)))
+        if (!tryRename(src, dst) && !(f.exists(dst) && !f.exists(src)))
           throw new IllegalStateException(
             s"legacy bucketed-table adoption failed: rename $src -> $dst " +
               "returned false; move the legacy dir+sidecar to the suffixed " +
@@ -156,7 +162,7 @@ final class Checkpoints(spark: SparkSession, workDir: String, configHash: String
         // state (exactly one config adopts the legacy rows) already holds.
         // Only a failed rename that LEAVES the legacy sidecar in place is a
         // real failure; a vanished sidecar means proceed with the fresh dir.
-        val adopted = f.rename(legMeta, sufMeta) ||
+        val adopted = tryRename(legMeta, sufMeta) ||
           (f.exists(sufMeta) && !f.exists(legMeta))
         if (adopted) {
           if (f.exists(new Path(legacy)))
