@@ -121,8 +121,11 @@ final class Checkpoints(spark: SparkSession, workDir: String, configHash: String
   // append that CREATES the suffixed sidecar cannot flip a later call of
   // the same session back to re-resolving.
   private val resolvedBucketPath = scala.collection.mutable.HashMap.empty[String, String]
+  // synchronized: cross-SESSION races are handled by the rename protocol
+  // below, but two threads of ONE session sharing this instance must not
+  // race the mutable memo map or run the adoption block twice for a name
   private def bucketedDataPath(name: String): String =
-    resolvedBucketPath.getOrElseUpdate(name, {
+    resolvedBucketPath.synchronized { resolvedBucketPath.getOrElseUpdate(name, {
       val suffixed = s"$workDir/${name}__$configHash"
       val legacy = s"$workDir/$name"
       val f = fs(workDir)
@@ -145,12 +148,14 @@ final class Checkpoints(spark: SparkSession, workDir: String, configHash: String
       def tryRename(src: Path, dst: Path): Boolean =
         try f.rename(src, dst)
         catch { case _: java.io.FileNotFoundException => false }
+      def adoptionFailure(src: Path, dst: Path): Nothing =
+        throw new IllegalStateException(
+          s"legacy bucketed-table adoption failed: rename $src -> $dst " +
+            "returned false; move the legacy dir+sidecar to the suffixed " +
+            "path manually and retry")
       def renameOrThrow(src: Path, dst: Path): Unit =
         if (!tryRename(src, dst) && !(f.exists(dst) && !f.exists(src)))
-          throw new IllegalStateException(
-            s"legacy bucketed-table adoption failed: rename $src -> $dst " +
-              "returned false; move the legacy dir+sidecar to the suffixed " +
-              "path manually and retry")
+          adoptionFailure(src, dst)
       // finish a half-completed adoption: sidecar moved, data dir not yet
       if (f.exists(sufMeta) && !f.exists(new Path(suffixed)) &&
           f.exists(new Path(legacy)))
@@ -168,13 +173,20 @@ final class Checkpoints(spark: SparkSession, workDir: String, configHash: String
           if (f.exists(new Path(legacy)))
             renameOrThrow(new Path(legacy), new Path(suffixed))
         } else if (f.exists(legMeta))
-          throw new IllegalStateException(
-            s"legacy bucketed-table adoption failed: rename $legMeta -> " +
-              s"$sufMeta returned false; move the legacy dir+sidecar to " +
-              "the suffixed path manually and retry")
+          adoptionFailure(legMeta, sufMeta)
+        else if (f.exists(new Path(legacy)))
+          // benign in a race (the winner's data-dir rename may simply not
+          // have landed yet), but if the sidecar vanished for a NON-race
+          // reason (manual cleanup) the legacy rows are stranded with no
+          // sidecar left to adopt them — leave a trace either way
+          System.err.println(s"[checkpoints] WARN legacy sidecar $legMeta " +
+            s"vanished during adoption while data dir $legacy still exists; " +
+            "assuming a concurrent session won the adoption race — if no " +
+            "other config adopted it, the legacy dir is now stranded and " +
+            "must be moved manually")
       }
       suffixed
-    })
+    })}
 
   def bucketedAppend(name: String, df: DataFrame, bucketCol: String,
       numBuckets: Int): DataFrame = {

@@ -95,8 +95,8 @@ class ReviewSpec extends SparkSpec {
     // cardinality pinned BEFORE collapsing to a map: a regression that
     // routes the null-hash row through both union branches (or duplicates
     // the hashed row) would be masked by toMap keeping one row per key
-    assert(decisions.count() == 2,
-      s"expected exactly one output row per input pair, got ${decisions.count()}")
+    val nOut = decisions.count()
+    assert(nOut == 2, s"expected exactly one output row per input pair, got $nOut")
     val d = decisions.select("node_a", "decision", "tier")
       .as[(Long, String, String)].collect()
       .map { case (k, v, t) => k -> ((v, t)) }.toMap
