@@ -27,9 +27,12 @@ final class AuditLog(spark: SparkSession, path: String) {
     * table schema: (run_id, seq, action, details).
     */
   def append(audit: DataFrame, runId: String): Unit = {
-    val seq = seqs.getOrElseUpdate(runId,
+    // map-level synchronization only: concurrent appends to DIFFERENT
+    // run_ids must not corrupt the HashMap; same-run concurrency stays
+    // excluded by the single-writer contract above
+    val seq = seqs.synchronized(seqs.getOrElseUpdate(runId,
       history().where(col("run_id") === runId)
-        .agg(coalesce(max(col("seq")) + 1L, lit(0L))).collect()(0).getLong(0))
+        .agg(coalesce(max(col("seq")) + 1L, lit(0L))).collect()(0).getLong(0)))
     val detailCols = audit.columns.filterNot(_ == "action")
     val row = audit.select(
       lit(runId).as("run_id"),
@@ -37,7 +40,7 @@ final class AuditLog(spark: SparkSession, path: String) {
       col("action"),
       to_json(struct(detailCols.map(col): _*)).as("details"))
     row.write.mode("append").parquet(path)
-    seqs(runId) = seq + 1
+    seqs.synchronized { seqs(runId) = seq + 1 }
   }
 
   /** The full audit history (empty frame with the right schema if nothing

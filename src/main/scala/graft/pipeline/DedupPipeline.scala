@@ -50,7 +50,10 @@ final class DedupPipeline(
   private val stageInputs = scala.collection.mutable.HashMap
     .empty[String, Seq[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan]]
 
-  private def stage(name: String, inputs: DataFrame*)(compute: => DataFrame): DataFrame = {
+  // synchronized (reentrant, so stages computing other stages in one
+  // thread still work): two threads sharing one pipeline instance must not
+  // race the mutable memo maps or compute one stage twice
+  private def stage(name: String, inputs: DataFrame*)(compute: => DataFrame): DataFrame = stageCache.synchronized {
     val plans = inputs.map(_.queryExecution.analyzed)
     stageInputs.get(name) match {
       case Some(prev) =>
@@ -69,7 +72,7 @@ final class DedupPipeline(
   }
 
   /** Release persisted stage data (no-checkpoint mode). */
-  def unpersistAll(): Unit = {
+  def unpersistAll(): Unit = stageCache.synchronized {
     stageCache.values.foreach(_.unpersist(false))
     stageCache.clear()
   }
