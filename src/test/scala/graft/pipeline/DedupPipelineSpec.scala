@@ -103,6 +103,35 @@ class DedupPipelineSpec extends SparkSpec {
     assert(stats.map(_._1).contains("match"))
   }
 
+  test("stage memo is thread-safe: concurrent requests share ONE computation") {
+    // two threads requesting the same stage on one pipeline instance must
+    // get the SAME memoized frame (single compute, no map corruption) —
+    // the per-instance concurrency posture the synchronized memo pins
+    val p = new DedupPipeline(spark, cfg)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val outs = new java.util.concurrent.ConcurrentLinkedQueue[(AnyRef, Long)]()
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    val threads = (1 to 2).map { _ =>
+      new Thread(() => {
+        try {
+          barrier.await()
+          val e = p.extracted(pages)
+          outs.add((e, e.count()))
+        } catch { case t: Throwable => errs.add(t) }
+      })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join(120000))
+    assert(errs.isEmpty, s"concurrent stage access threw: $errs")
+    assert(outs.size == 2, s"a thread hung: $outs")
+    val res = Array.ofDim[(AnyRef, Long)](2)
+    res(0) = outs.poll(); res(1) = outs.poll()
+    assert(res(0)._1 eq res(1)._1, "memo must return the one shared stage frame")
+    assert(res(0)._2 == res(1)._2 && res(0)._2 == N,
+      s"concurrent counts diverged: ${res.map(_._2).toSeq}")
+    p.unpersistAll()
+  }
+
   test("pipeline resumes from checkpoint: identical labels, stages skipped") {
     val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
     val p1 = new DedupPipeline(spark, cfg, Some(dir))
