@@ -18,21 +18,27 @@ final class AuditLog(spark: SparkSession, path: String) {
 
   // seq continues from the stored max PER run_id: a later session resuming
   // the same run must not reuse seq values (duplicate (run_id, seq) pairs
-  // would make the within-run order unrecoverable). Single writer per run
-  // assumed — concurrent appenders to one run_id still race.
+  // would make the within-run order unrecoverable). Appends are serialized
+  // per instance (see append); concurrent appenders from SEPARATE
+  // instances/processes to one path still race — single writing process
+  // per log assumed (the Iceberg seam lifts that with snapshot commits).
   private val seqs = scala.collection.mutable.HashMap.empty[String, Long]
 
   /** Append one audit action. The frame's own columns are folded into a
     * details JSON string so heterogeneous actions (split vs merge) share one
     * table schema: (run_id, seq, action, details).
     */
-  def append(audit: DataFrame, runId: String): Unit = {
-    // map-level synchronization only: concurrent appends to DIFFERENT
-    // run_ids must not corrupt the HashMap; same-run concurrency stays
-    // excluded by the single-writer contract above
-    val seq = seqs.synchronized(seqs.getOrElseUpdate(runId,
+  def append(audit: DataFrame, runId: String): Unit = seqs.synchronized {
+    // the WHOLE append is serialized per instance, not just the map:
+    // concurrent parquet append jobs to one path share the committer's
+    // _temporary staging dir, so a parallel commit can silently drop the
+    // other job's files — cross-run concurrency through one AuditLog is
+    // not supportable at the parquet layer (the Iceberg seam is, via
+    // snapshot commits). Audit frames are tiny review actions; holding
+    // the lock across the write costs nothing real.
+    val seq = seqs.getOrElseUpdate(runId,
       history().where(col("run_id") === runId)
-        .agg(coalesce(max(col("seq")) + 1L, lit(0L))).collect()(0).getLong(0)))
+        .agg(coalesce(max(col("seq")) + 1L, lit(0L))).collect()(0).getLong(0))
     val detailCols = audit.columns.filterNot(_ == "action")
     val row = audit.select(
       lit(runId).as("run_id"),
@@ -40,7 +46,7 @@ final class AuditLog(spark: SparkSession, path: String) {
       col("action"),
       to_json(struct(detailCols.map(col): _*)).as("details"))
     row.write.mode("append").parquet(path)
-    seqs.synchronized { seqs(runId) = seq + 1 }
+    seqs(runId) = seq + 1
   }
 
   /** The full audit history (empty frame with the right schema if nothing

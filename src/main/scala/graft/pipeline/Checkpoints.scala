@@ -188,8 +188,13 @@ final class Checkpoints(spark: SparkSession, workDir: String, configHash: String
       suffixed
     })}
 
+  // bucketedAppend/bucketedTable share the resolution monitor: their
+  // tableExists check-then-act would otherwise let two threads of one
+  // session both take the create branch (the second overwrite silently
+  // clobbering the first append) or double-CREATE in reRegister. One
+  // instance-wide monitor, reentrant with bucketedDataPath's.
   def bucketedAppend(name: String, df: DataFrame, bucketCol: String,
-      numBuckets: Int): DataFrame = {
+      numBuckets: Int): DataFrame = resolvedBucketPath.synchronized {
     val table = bucketedTableName(name)
     reRegister(name) // a fresh session resumes an on-disk table before appending
     val writer = df.write
@@ -214,7 +219,7 @@ final class Checkpoints(spark: SparkSession, workDir: String, configHash: String
   /** The bucketed stage table: from this session's catalog, or re-registered
     * from the on-disk registration sidecar (fresh-session resume).
     */
-  def bucketedTable(name: String): Option[DataFrame] = {
+  def bucketedTable(name: String): Option[DataFrame] = resolvedBucketPath.synchronized {
     reRegister(name)
     val t = bucketedTableName(name)
     if (spark.catalog.tableExists(t)) Some(spark.table(t)) else None

@@ -52,7 +52,11 @@ final class DedupPipeline(
 
   // synchronized (reentrant, so stages computing other stages in one
   // thread still work): two threads sharing one pipeline instance must not
-  // race the mutable memo maps or compute one stage twice
+  // race the mutable memo maps or compute one stage twice. The ONE coarse
+  // monitor deliberately serializes even different-stage computes:
+  // single-flight correctness over a parallelism no pipeline use case
+  // needs (stages form one dependency chain; per-name single-flight
+  // futures would buy nothing but complexity here)
   private def stage(name: String, inputs: DataFrame*)(compute: => DataFrame): DataFrame = stageCache.synchronized {
     val plans = inputs.map(_.queryExecution.analyzed)
     stageInputs.get(name) match {

@@ -112,24 +112,27 @@ class DedupPipelineSpec extends SparkSpec {
     val outs = new java.util.concurrent.ConcurrentLinkedQueue[(AnyRef, Long)]()
     val barrier = new java.util.concurrent.CyclicBarrier(2)
     val threads = (1 to 2).map { _ =>
-      new Thread(() => {
+      val t = new Thread(() => {
         try {
           barrier.await()
           val e = p.extracted(pages)
           outs.add((e, e.count()))
         } catch { case t: Throwable => errs.add(t) }
       })
+      t.setDaemon(true) // a hung worker must not outlive the suite
+      t
     }
-    threads.foreach(_.start())
-    threads.foreach(_.join(120000))
-    assert(errs.isEmpty, s"concurrent stage access threw: $errs")
-    assert(outs.size == 2, s"a thread hung: $outs")
-    val res = Array.ofDim[(AnyRef, Long)](2)
-    res(0) = outs.poll(); res(1) = outs.poll()
-    assert(res(0)._1 eq res(1)._1, "memo must return the one shared stage frame")
-    assert(res(0)._2 == res(1)._2 && res(0)._2 == N,
-      s"concurrent counts diverged: ${res.map(_._2).toSeq}")
-    p.unpersistAll()
+    try {
+      threads.foreach(_.start())
+      threads.foreach(_.join(120000))
+      assert(errs.isEmpty, s"concurrent stage access threw: $errs")
+      assert(outs.size == 2, s"a thread hung: $outs")
+      val res = Array.ofDim[(AnyRef, Long)](2)
+      res(0) = outs.poll(); res(1) = outs.poll()
+      assert(res(0)._1 eq res(1)._1, "memo must return the one shared stage frame")
+      assert(res(0)._2 == res(1)._2 && res(0)._2 == N,
+        s"concurrent counts diverged: ${res.map(_._2).toSeq}")
+    } finally p.unpersistAll() // even on failure: don't leak persisted stages
   }
 
   test("pipeline resumes from checkpoint: identical labels, stages skipped") {
