@@ -415,7 +415,8 @@ object SparkEntry {
     * single-bucket config (≡ exact all-pairs; see q30).
     */
   private def q31(s: SparkSession, dir: String): DataFrame =
-    Similarity.nearDupPairs(t(s, dir, "embeddings"), 0.3, tables = 1, bitsPerTable = 0)
+    Similarity.nearDupPairs(t(s, dir, "embeddings"), 0.3, tables = 1, bitsPerTable = 0,
+        maxBucketSize = Int.MaxValue) // degenerate oracle config: provably exhaustive
       .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine"))
 
   /** IVF ANN at nprobe = nlist: every query probes every cell, so the output
@@ -1474,15 +1475,19 @@ object SparkEntry {
         | FROM kept GROUP BY doc_id
         | HAVING count(*) FILTER (WHERE length(trim(ln)) > 0) > 0""".stripMargin,
     "q42_repetition_metrics" ->
-      """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
-        |  FROM documents WHERE length(trim(text)) > 0),
+      // blank/null-text docs stay visible with zero metrics, mirroring the
+      // operator's keep-the-husk posture (no such docs exist in testdata —
+      // the CASE arms keep both sides equivalent beyond it)
+      """WITH t AS (SELECT doc_id, CASE WHEN text IS NULL OR length(trim(text)) = 0
+        |    THEN []::VARCHAR[] ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+        |  FROM documents),
         | base AS (SELECT doc_id, len(toks) AS n_toks, len(list_distinct(toks)) AS n_distinct FROM t),
         | bg AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(toks)-1),
         |   i -> toks[i] || ' ' || toks[i+1])) AS g FROM t WHERE len(toks) >= 2),
         | bgc AS (SELECT doc_id, g, count(*) AS n FROM bg GROUP BY doc_id, g),
         | top AS (SELECT doc_id, max(n) AS max_n, sum(n) AS tot FROM bgc GROUP BY doc_id)
         | SELECT b.doc_id,
-        |  round(1 - n_distinct::DOUBLE / n_toks, 6) AS dup_token_ratio,
+        |  round(CASE WHEN n_toks = 0 THEN 0 ELSE 1 - n_distinct::DOUBLE / n_toks END, 6) AS dup_token_ratio,
         |  round(coalesce(max_n::DOUBLE / tot, 0), 6) AS top_bigram_frac
         | FROM base b LEFT JOIN top USING (doc_id)""".stripMargin,
     "q43_url_canonicalize" ->

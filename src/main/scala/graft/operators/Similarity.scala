@@ -103,12 +103,16 @@ object Similarity {
   ): Array[Array[Float]] = {
     val sample = corpus
       .select(col(idCol).as("id"), col(vecCol).as("v"))
-      .orderBy(xxhash64(col("id"), lit(seed)), col("id"))
+      .where(col("v").isNotNull) // null embeddings: dropped here like every
+      .orderBy(xxhash64(col("id"), lit(seed)), col("id")) // bucket path drops them
       .limit(sampleCap)
       .select("v")
       .collect()
       .map(_.getSeq[Float](0).toArray)
     require(sample.nonEmpty, "cannot train IVF on an empty corpus")
+    require(sample.forall(_.length == sample.head.length),
+      s"IVF training sample mixes embedding dimensions (found " +
+        s"${sample.map(_.length).distinct.sorted.mkString(",")}) — fix the corpus")
     kmeansSpherical(sample, nlist, iters, seed)
   }
 
@@ -210,17 +214,32 @@ object Similarity {
   }
 
   /** Embedding-cosine near-duplicate pairs: bucket join + exact cosine ≥
-    * threshold, canonical pair order.
+    * threshold, canonical pair order. Hot buckets (> maxBucketSize members
+    * — mass-duplicated vectors landing one bucket in every table) are
+    * dropped via the same broadcast anti-join as the MinHash band join
+    * (`MinHashLsh.lshCandidates`): without the cap a corpus of ~1M
+    * identical pages enumerates ~tables·N² join rows. Pass
+    * `maxBucketSize = Int.MaxValue` for provably-exhaustive semantics
+    * (the degenerate single-bucket oracle configs do).
     */
   def nearDupPairs(
       corpus: DataFrame, threshold: Double,
       tables: Int = 8, bitsPerTable: Int = 16, seed: Long = 42L,
-      idCol: String = "vec_id", vecCol: String = "embedding"
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      maxBucketSize: Int = 2000
   ): DataFrame = {
     val b = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"),
       explode(lshBuckets(col(vecCol), tables, bitsPerTable, seed)).as("bucket"))
-    val a = b.toDF("id_a", "vec_a", "bucket")
-    val c = b.toDF("id_b", "vec_b", "bucket")
+    val pruned = if (maxBucketSize == Int.MaxValue) b else {
+      val hotKeys = b.groupBy("bucket").count()
+        .where(col("count") > maxBucketSize)
+        .select("bucket")
+      b.join(broadcast(hotKeys), Seq("bucket"), "left_anti")
+    }
+    // rename BY NAME: the Seq-key anti-join reorders columns (bucket first),
+    // so a positional toDF would silently misassign them
+    val a = pruned.select(col("id").as("id_a"), col("vec").as("vec_a"), col("bucket"))
+    val c = pruned.select(col("id").as("id_b"), col("vec").as("vec_b"), col("bucket"))
     a.join(c, Seq("bucket"))
       .where(col("id_a") < col("id_b"))
       .dropDuplicates("id_a", "id_b")
@@ -239,6 +258,16 @@ case class CosineSimilarity(
 ) extends org.apache.spark.sql.catalyst.expressions.BinaryExpression with CodegenFallback {
 
   override def dataType: DataType = DoubleType
+
+  // fail at ANALYSIS on non-float arrays: getFloat over an array<double>
+  // would silently read half of each slot and return confident garbage
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(FloatType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (l, r) => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<float> inputs, got ${l.catalogString} and ${r.catalogString}")
+    }
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val va = a.asInstanceOf[ArrayData]
@@ -286,9 +315,22 @@ case class NearestCells(child: Expression, centroids: Seq[Seq[Float]], m: Int)
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override def nullIntolerant: Boolean = true
 
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires an array<float> input, got ${t.catalogString}")
+    }
+
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
     val dim = arr.numElements()
+    // a dim mismatch means the corpus does not match the trained quantizer —
+    // every assignment would be confidently wrong; fail loudly instead
+    if (dim != cents(0).length)
+      throw new IllegalArgumentException(
+        s"$prettyName: vector dim $dim does not match centroid dim ${cents(0).length}")
     val v = new Array[Double](dim)
     var i = 0
     while (i < dim) { v(i) = arr.getFloat(i).toDouble; i += 1 }
@@ -331,6 +373,14 @@ case class CosineLshKeys(child: Expression, tables: Int, bitsPerTable: Int, seed
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires an array<float> input, got ${t.catalogString}")
+    }
 
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
@@ -375,7 +425,13 @@ object CosineLshKeys {
     (Long, Int, Int, Int), Array[Array[Double]]]()
 
   private[operators] def planesFor(
-      seed: Long, tables: Int, bits: Int, dim: Int): Array[Array[Double]] =
+      seed: Long, tables: Int, bits: Int, dim: Int): Array[Array[Double]] = {
+    // bound the executor-lifetime cache: a long-lived JVM cycling many
+    // (seed, dims) configs must not accumulate plane matrices forever.
+    // Cleared OUTSIDE computeIfAbsent (clear inside a mapping function can
+    // deadlock on bin locks); a cleared-then-recomputed entry is harmless.
+    if (planes.size >= 32 && !planes.containsKey((seed, tables, bits, dim)))
+      planes.clear()
     planes.computeIfAbsent((seed, tables, bits, dim), _ => {
       val out = new Array[Array[Double]](tables * bits)
       var t = 0
@@ -394,4 +450,5 @@ object CosineLshKeys {
       }
       out
     })
+  }
 }

@@ -76,15 +76,19 @@ object WebCorpus {
         // whitespace-only)
         count(when(length(trim(col("line"))) > 0, 1)).as("n_kept_lines"))
     val ids = docs.select(col(idCol).as("id_base"))
-    ids.join(reassembled, ids("id_base") === reassembled("doc_ref"), "left")
+    // null-safe join: a null-id document must reunite with its own lines
+    // instead of silently losing its whole text to the coalesce("") below.
+    // (Null ids group TOGETHER — ids should be unique and non-null by
+    // contract; this only keeps the degenerate input visible, not correct.)
+    ids.join(reassembled, ids("id_base") <=> reassembled("doc_ref"), "left")
       .select(col("id_base").as(idCol),
         coalesce(col("clean_text"), lit("")).as("clean_text"),
         coalesce(col("n_kept_lines"), lit(0L)).as("n_kept_lines"))
   }
 
-  /** Whitespace tokens; blank text → empty array (not [""]). */
+  /** Whitespace tokens; blank OR NULL text → empty array (not [""]/null). */
   private def toks(text: Column): Column =
-    when(length(trim(text)) === 0, array().cast("array<string>"))
+    when(text.isNull || length(trim(text)) === 0, array().cast("array<string>"))
       .otherwise(split(trim(text), "\\s+"))
 
   /** Adjacent token bigrams as "a b" strings (empty for < 2 tokens). */
@@ -92,6 +96,7 @@ object WebCorpus {
 
   /** Adjacent token n-grams as space-joined strings. */
   def ngrams(text: Column, n: Int): Column = {
+    require(n >= 1, s"ngrams needs n >= 1, got $n")
     val t = toks(text)
     val m = size(t) - (n - 1)
     val shifted = (0 until n).map(i => slice(t, lit(i + 1), greatest(m, lit(0))))
@@ -111,16 +116,21 @@ object WebCorpus {
     */
   def repetitionMetrics(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val t = toks(col(textCol))
+    // blank/null-text docs stay VISIBLE with zero metrics (same posture as
+    // removeBoilerplate: a downstream gate drops them deliberately, never
+    // silently) — dropping their rows would let an empty husk pass a gate
+    // that inner-joins these metrics
     val base = docs
-      .where(length(trim(col(textCol))) > 0)
       .select(col(idCol), size(t).as("n_toks"), size(array_distinct(t)).as("n_distinct"))
     val bg = docs.select(col(idCol).as("doc_ref"), explode(bigrams(col(textCol))).as("g"))
     val top = bg.groupBy(col("doc_ref"), col("g")).count()
       .groupBy(col("doc_ref"))
       .agg(max(col("count")).as("max_n"), sum(col("count")).as("tot"))
-    base.join(top, base(idCol) === top("doc_ref"), "left")
+    base.join(top, base(idCol) <=> top("doc_ref"), "left") // null-safe: see removeBoilerplate
       .select(base(idCol),
-        round(lit(1.0) - col("n_distinct").cast("double") / col("n_toks"), 6).as("dup_token_ratio"),
+        round(when(col("n_toks") === 0, 0.0)
+          .otherwise(lit(1.0) - col("n_distinct").cast("double") / col("n_toks")), 6)
+          .as("dup_token_ratio"),
         round(coalesce(col("max_n").cast("double") / col("tot"), lit(0.0)), 6).as("top_bigram_frac"))
   }
 

@@ -107,6 +107,52 @@ class SimilaritySpec extends SparkSpec {
     (0L until 5L).foreach { id => assert(found.contains((id, id + 1000L)), s"missing dup $id") }
   }
 
+  test("nearDupPairs hot-bucket cap drops mass-duplicated buckets, observably not silently-wrong") {
+    // 40 identical vectors land one bucket per table; cap=10 drops those
+    // buckets so the quadratic blow-up never schedules. The distinct pair
+    // (100, 101) lives in uncrowded buckets and must survive the prune.
+    val hot = (0 until 40).map(i => (i.toLong, Array.fill(16)(0.5f)))
+    val pair = Seq((100L, Array.fill(16)(-0.5f)), (101L, Array.fill(16)(-0.5f)))
+    val corpus = (hot ++ pair).toDF("vec_id", "embedding")
+    val capped = Similarity.nearDupPairs(corpus, 0.999, tables = 4, bitsPerTable = 8,
+      maxBucketSize = 10).as[(Long, Long, Double)].collect()
+    assert(capped.map(p => (p._1, p._2)).toSet == Set((100L, 101L)),
+      s"cap must drop the hot bucket and keep the cold pair: ${capped.toSeq}")
+    // exhaustive mode recovers everything: 40·39/2 hot pairs + the cold one
+    val full = Similarity.nearDupPairs(corpus, 0.999, tables = 4, bitsPerTable = 8,
+      maxBucketSize = Int.MaxValue).count()
+    assert(full == 40L * 39 / 2 + 1, s"exhaustive mode lost pairs: $full")
+  }
+
+  test("float-array expressions reject non-float arrays at analysis, not with silent garbage") {
+    val doubles = Seq((1L, Array(0.5d, 0.25d))).toDF("vec_id", "embedding")
+    val e1 = intercept[Exception] {
+      doubles.select(Similarity.cosineFused($"embedding", $"embedding")).collect()
+    }
+    assert(e1.getMessage.contains("array<float>"), e1.getMessage)
+    val e2 = intercept[Exception] {
+      doubles.select(Similarity.lshBuckets($"embedding")).collect()
+    }
+    assert(e2.getMessage.contains("array<float>"), e2.getMessage)
+    val e3 = intercept[Exception] {
+      doubles.select(Similarity.nearestCells($"embedding",
+        Array(Array(1f, 0f)), 1)).collect()
+    }
+    assert(e3.getMessage.contains("array<float>"), e3.getMessage)
+  }
+
+  test("trainIvfCentroids tolerates null embeddings; mixed dims fail loudly") {
+    val withNull = (vecs(20, 8).map { case (id, v) => (id, Option(v)) } :+
+      ((99L, Option.empty[Array[Float]]))).toDF("vec_id", "embedding")
+    val cents = Similarity.trainIvfCentroids(withNull, 4)
+    assert(cents.length == 4 && cents.forall(_.length == 8))
+    val mixed = Seq((1L, Array(1f, 0f)), (2L, Array(1f, 0f, 0f))).toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      Similarity.trainIvfCentroids(mixed, 2)
+    }
+    assert(e.getMessage.contains("dimension"), e.getMessage)
+  }
+
   test("multimodal feature extraction: real codecs, deterministic batch plumbing") {
     val media = Multimodal.syntheticMedia(spark, 50)
     val feats = Multimodal.extractFeatures(media, dim = 8).collect()

@@ -82,6 +82,46 @@ class WebCorpusSpec extends SparkSpec {
     assert(m(2) == ((3L, 0.0, 0.0)))      // single token → no bigrams → 0
   }
 
+  test("repetitionMetrics keeps blank/null-text docs visible with zero metrics") {
+    // same posture as removeBoilerplate: the empty husk must stay in the
+    // frame so a downstream quality gate drops it DELIBERATELY — a dropped
+    // row would pass unseen through a gate that inner-joins these metrics
+    val docs = Seq(
+      (1L, "alpha beta alpha beta"),
+      (2L, ""),
+      (3L, "   "),
+      (4L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val m = WebCorpus.repetitionMetrics(docs, "doc_id", "text")
+      .orderBy("doc_id").as[(Long, Double, Double)].collect().toSeq
+    assert(m.map(_._1) == Seq(1L, 2L, 3L, 4L), s"blank/null docs vanished: $m")
+    assert(m(1) == ((2L, 0.0, 0.0)) && m(2) == ((3L, 0.0, 0.0)) &&
+      m(3) == ((4L, 0.0, 0.0)), s"blank/null docs must report zero metrics: $m")
+  }
+
+  test("removeBoilerplate: a null-id doc keeps its text (null-safe reassembly join)") {
+    // three NON-null docs carry BANNER past minDocs (countDistinct skips
+    // null doc_refs, so the null doc can't contribute to doc frequency)
+    val docs = Seq(
+      (Option(1L), "BANNER\nkeep me"),
+      (Option(2L), "BANNER\nother text"),
+      (Option(3L), "BANNER\nthird text"),
+      (Option.empty[Long], "BANNER\nnull id text")
+    ).toDF("doc_id", "text")
+    val got = WebCorpus.removeBoilerplate(docs, "doc_id", "text", minDocs = 3L)
+      .as[(Option[Long], String, Long)].collect().toSeq
+    val nullRow = got.find(_._1.isEmpty).get
+    assert(nullRow._2 == "null id text" && nullRow._3 == 1L,
+      s"null-id doc lost its text: $got")
+  }
+
+  test("ngrams rejects n < 1 with a clear argument error") {
+    val e = intercept[IllegalArgumentException] {
+      WebCorpus.ngrams(lit("a b c"), 0)
+    }
+    assert(e.getMessage.contains("n >= 1"), e.getMessage)
+  }
+
   test("topNgrams is total-ordered and respects k") {
     val docs = Seq("a b c", "a b c", "a b d", "z z z").toDF("text")
     val got = WebCorpus.topNgrams(docs, "text", n = 2, k = 3)
