@@ -1266,7 +1266,12 @@ object SparkEntry {
          | string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY CAST(doc_id AS VARCHAR)) AS members
          | FROM ($exactDupUnion) GROUP BY 1""".stripMargin,
     "q16_fingerprint_sha" ->
-      """SELECT doc_id, sha256(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
+      // same Unicode whitespace class as TextFunctions.collapseWhitespace
+      // (RE2 \x{hhhh} syntax) so oracle and operator stay equivalent on
+      // NBSP-style cosmetic noise, not just ASCII corpora
+      """SELECT doc_id, sha256(trim(regexp_replace(lower(text),
+        |   '[\s\x{001c}-\x{001f}\x{0085}\x{00a0}\x{1680}\x{2000}-\x{200a}\x{2028}\x{2029}\x{202f}\x{205f}\x{3000}]+',
+        |   ' ', 'g'))) AS fingerprint
         | FROM documents""".stripMargin,
     "q17_cc_exact_dup_clusters" ->
       s"""SELECT doc_id, min(doc_id) OVER (PARTITION BY text) AS cluster_id

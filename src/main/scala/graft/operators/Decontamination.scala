@@ -27,9 +27,14 @@ object Decontamination {
 
   /** Distinct 64-bit hashes of word n-grams (whitespace tokenization —
     * `split(trim(text), "\\s+")` semantics, portable to the DuckDB oracle).
+    * Blank/null text → no grams: `split("", "\\s+")` is `[""]` (one empty
+    * token), which at n=1 would otherwise emit a phantom empty-string gram
+    * that marks every blank doc as "sharing content" with a blank
+    * benchmark row.
     */
   def ngramHashes(text: Column, n: Int, seed: Long = 42L): Column =
-    Hashing.shingleHashes(split(trim(text), "\\s+"), n, seed)
+    when(text.isNull || length(trim(text)) === 0, array().cast("array<long>"))
+      .otherwise(Hashing.shingleHashes(split(trim(text), "\\s+"), n, seed))
 
   /** The benchmark's distinct gram-hash table: one row per distinct n-gram
     * across the whole benchmark corpus — `(gram_hash: long)`.
@@ -58,6 +63,8 @@ object Decontamination {
       explode(ngramHashes(col(textCol), n, seed)).as("gram_hash"))
     val bench = if (broadcastBench) broadcast(benchGrams) else benchGrams
     val dirty = grams.join(bench, "gram_hash").select(col("__decon_id")).distinct()
-    docs.join(dirty, docs(idCol) === dirty("__decon_id"), "left_anti")
+    // null-safe: a contaminated row with a null id must still be removed
+    // (null === null is null, so a plain equi-anti-join would KEEP it)
+    docs.join(dirty, docs(idCol) <=> dirty("__decon_id"), "left_anti")
   }
 }

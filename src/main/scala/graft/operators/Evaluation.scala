@@ -58,16 +58,23 @@ object Evaluation {
         count(when(col("label") === "different" && col("__pred"), 1)).as("fp"),
         count(when(col("label") === "same" && !col("__pred"), 1)).as("fn"),
         count(when(col("label") === "different" && !col("__pred"), 1)).as("tn"))
-      .select(col("tp"), col("fp"), col("fn"), col("tn"),
-        when(col("tp") + col("fp") === 0, 0.0)
-          .otherwise(col("tp") / (col("tp") + col("fp"))).as("precision"),
-        when(col("tp") + col("fn") === 0, 0.0)
-          .otherwise(col("tp") / (col("tp") + col("fn"))).as("recall"))
+      .transform(withPrf)
+  }
+
+  /** Append precision/recall/f1 (zero denominators → 0.0) to a frame
+    * carrying tp/fp/fn counts — the ONE copy of the metric arithmetic
+    * shared by [[pairMetrics]] and [[thresholdSweep]].
+    */
+  private def withPrf(counts: DataFrame): DataFrame =
+    counts
+      .withColumn("precision", when(col("tp") + col("fp") === 0, 0.0)
+        .otherwise(col("tp") / (col("tp") + col("fp"))))
+      .withColumn("recall", when(col("tp") + col("fn") === 0, 0.0)
+        .otherwise(col("tp") / (col("tp") + col("fn"))))
       .withColumn("f1",
         when(col("precision") + col("recall") === 0.0, 0.0)
           .otherwise(lit(2.0) * col("precision") * col("recall") /
             (col("precision") + col("recall"))))
-  }
 
   /** Q15 threshold sweep over a scored-pair DataFrame: ONE job for the whole
     * grid. Truth left-joins the scores (missing score = never predicted,
@@ -98,14 +105,6 @@ object Evaluation {
         count(when(col("label") === "same" && col("__pred"), 1)).as("tp"),
         count(when(col("label") === "different" && col("__pred"), 1)).as("fp"),
         count(when(col("label") === "same" && !col("__pred"), 1)).as("fn"))
-      .select(col("threshold"), col("tp"), col("fp"), col("fn"),
-        when(col("tp") + col("fp") === 0, 0.0)
-          .otherwise(col("tp") / (col("tp") + col("fp"))).as("precision"),
-        when(col("tp") + col("fn") === 0, 0.0)
-          .otherwise(col("tp") / (col("tp") + col("fn"))).as("recall"))
-      .withColumn("f1",
-        when(col("precision") + col("recall") === 0.0, 0.0)
-          .otherwise(lit(2.0) * col("precision") * col("recall") /
-            (col("precision") + col("recall"))))
+      .transform(withPrf)
   }
 }

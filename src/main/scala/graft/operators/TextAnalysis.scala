@@ -46,9 +46,12 @@ object TextAnalysis {
     (length(padded) - length(replace(padded, lit(needle), lit("")))) / needle.length
   }
 
-  /** Stopword hits for a language's stopword list. */
+  /** Stopword hits for a language's stopword list; empty list → 0 hits
+    * (not an `empty.reduceLeft` crash at plan construction).
+    */
   def stopwordHits(text: Column, stopwords: Seq[String]): Column =
-    stopwords.map(wordOccurrences(text, _)).reduce(_ + _)
+    if (stopwords.isEmpty) lit(0.0)
+    else stopwords.map(wordOccurrences(text, _)).reduce(_ + _)
 
   /** Quality metrics struct: chars, tokens, mean token length, punct ratio,
     * stopword ratio (EN list), uppercase ratio — the length/punct/stopword
@@ -102,11 +105,15 @@ object TextAnalysis {
 
   /** Content fingerprint: SHA-256 of whitespace-normalized lowercase text —
     * the canonical doc-identity key for exact dedup across cosmetic noise.
+    * Reuses [[graft.functions.TextFunctions.collapseWhitespace]] (the
+    * Unicode-complete class): Java's bare `\s` is ASCII-only, so NBSP —
+    * the most common cosmetic web-text artifact — would otherwise defeat
+    * the dedup-across-cosmetic-noise contract.
     */
   def fingerprintSha(text: Column): Column =
-    sha2(trim(regexp_replace(lower(text), "\\s+", " ")), 256)
+    sha2(graft.functions.TextFunctions.collapseWhitespace(lower(text)), 256)
 
   /** 64-bit rolling content fingerprint (cheap join key at scale). */
   def fingerprint64(text: Column): Column =
-    xxhash64(trim(regexp_replace(lower(text), "\\s+", " ")))
+    xxhash64(graft.functions.TextFunctions.collapseWhitespace(lower(text)))
 }

@@ -17,9 +17,20 @@ import org.apache.spark.sql.functions._
   */
 object UrlOps {
 
-  /** Lowercased host with any leading "www." stripped. */
-  def host(url: Column): Column =
-    regexp_replace(lower(parse_url(url, lit("HOST"))), "^www\\.", "")
+  /** Lowercased host with a COSMETIC leading "www." stripped — but only
+    * when www is not itself part of the registrable domain (PSL exception
+    * rules like `!www.ck`, and hosts directly under a public suffix such
+    * as `www.co.uk`, where www IS the registration): stripping there would
+    * merge a registered site with its bare public suffix and contradict
+    * [[registeredDomain]] on the same row.
+    */
+  def host(url: Column): Column = {
+    val raw = lower(parse_url(url, lit("HOST")))
+    val regDom = graft.functions.toCol(graft.functions.RegisteredDomainExpr(
+      graft.functions.toExpr(raw)))
+    when(raw.startsWith("www.") && !regDom.startsWith("www."),
+      regexp_replace(raw, "^www\\.", "")).otherwise(raw)
+  }
 
   /** Registered domain under the FULL embedded public suffix list —
     * normal, wildcard (`*.ck`) and exception (`!www.ck`) rules, ICANN and
@@ -57,16 +68,24 @@ object UrlOps {
     val port = regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*:(\\d+)(?=[/?#]|$)", 1)
     val keepPort = port =!= "" &&
       !((scheme === "http" && port === "80") || (scheme === "https" && port === "443"))
-    val path = coalesce(parse_url(url, lit("PATH")), lit(""))
+    // empty path ≡ "/" (RFC 3986 §6.2.3): 'https://example.com' and
+    // 'https://example.com/' MUST canonicalize to one identity
+    val rawPath = coalesce(parse_url(url, lit("PATH")), lit(""))
+    val path = when(rawPath === "", "/").otherwise(rawPath)
     val trackingRe = "^(" + TrackingParams.mkString("|") + ")="
     val params = filter(
       split(coalesce(parse_url(url, lit("QUERY")), lit("")), "&"),
       p => length(p) > 0 && !p.rlike(trackingRe))
     val query = array_join(array_sort(params), "&")
-    concat(
+    val canon = concat(
       scheme, lit("://"), h,
       when(keepPort, concat(lit(":"), port)).otherwise(lit("")),
       path,
       when(length(query) > 0, concat(lit("?"), query)).otherwise(lit("")))
+    // unparseable input (scheme-less, relative, mailto): parse_url's null
+    // HOST would null the whole concat, and EVERY such URL then collapses
+    // to one xxhash64(null) identity downstream — keep the raw url as its
+    // own (un-canonicalized but distinct) identity instead
+    when(h.isNull || scheme === "", url).otherwise(canon)
   }
 }

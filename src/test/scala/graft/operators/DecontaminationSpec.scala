@@ -46,6 +46,26 @@ class DecontaminationSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("clean removes a contaminated row even when its id is null (null-safe anti-join)") {
+    val withNull = docs.select(
+      when($"doc_id" === 1L, lit(null).cast("long")).otherwise($"doc_id").as("doc_id"),
+      $"text")
+    val grams = Decontamination.benchmarkGrams(bench, "text", 5)
+    val kept = Decontamination.clean(withNull, "doc_id", "text", grams, 5)
+      .select("doc_id").as[Option[Long]].collect().toSet
+    // doc 1 (now null-id) and doc 3 are contaminated; 2 and 4 stay
+    assert(kept == Set(Some(2L), Some(4L)), s"null-id contaminated row survived: $kept")
+  }
+
+  test("blank docs share no phantom empty-token gram at n = 1") {
+    val blankBench = Seq((900L, "   ")).toDF("doc_id", "text")
+    val blankDocs = Seq((1L, ""), (2L, "  \t "), (3L, "real content")).toDF("doc_id", "text")
+    val grams = Decontamination.benchmarkGrams(blankBench, "text", 1)
+    assert(grams.count() == 0, "a blank benchmark row must contribute no grams")
+    val kept = Decontamination.clean(blankDocs, "doc_id", "text", grams, 1)
+    assert(kept.count() == 3, "blank docs share no actual content — none may be removed")
+  }
+
   test("a doc is never contaminated by n-grams it merely repeats internally") {
     // doc repeats its own phrase; benchmark shares nothing
     val selfRep = Seq((7L, "repeat me now repeat me now repeat me now again ok")).toDF("doc_id", "text")

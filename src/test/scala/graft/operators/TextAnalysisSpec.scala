@@ -63,4 +63,21 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(0) == ((true, true)))
     assert(got(1) == ((false, false)))
   }
+
+  test("fingerprints treat Unicode whitespace (NBSP) as cosmetic noise") {
+    // NBSP (\u00a0) is the most common cosmetic web-text artifact; an ASCII-only \s
+    // would fingerprint the two copies differently and miss the duplicate
+    val got = Seq(("a\u00a0b \u2009c", "a b c")) // NBSP + thin space
+      .toDF("x", "y").select(
+        (TextAnalysis.fingerprintSha($"x") === TextAnalysis.fingerprintSha($"y")).as("sha_eq"),
+        (TextAnalysis.fingerprint64($"x") === TextAnalysis.fingerprint64($"y")).as("h64_eq")
+      ).as[(Boolean, Boolean)].collect()
+    assert(got(0) == ((true, true)), s"NBSP defeated the fingerprint: ${got.toSeq}")
+  }
+
+  test("stopwordHits with an empty list is 0, not an empty.reduceLeft crash") {
+    val got = Seq("the and of").toDF("t")
+      .select(TextAnalysis.stopwordHits($"t", Nil).cast("double")).as[Double].collect()
+    assert(got.toSeq == Seq(0.0))
+  }
 }

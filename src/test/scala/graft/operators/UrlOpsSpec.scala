@@ -103,6 +103,34 @@ class UrlOpsSpec extends SparkSpec {
     assert(got(1) == "http://example.com:8080/path")
   }
 
+  test("canonicalize: empty path normalizes to '/' (RFC 3986 §6.2.3)") {
+    // the same page crawled with and without the trailing slash MUST
+    // collapse to one identity
+    assert(canon("https://example.com", "https://example.com/",
+      "https://example.com?b=2&a=1") ==
+      Seq("https://example.com/", "https://example.com/",
+        "https://example.com/?a=1&b=2"))
+  }
+
+  test("canonicalize: unparseable URLs keep their raw identity, never collapse to NULL") {
+    // parse_url's null HOST would null the whole concat and every malformed
+    // URL would share one xxhash64(null) dedup node
+    assert(canon("example.com/a", "other.org/b", "mailto:x@y.z") ==
+      Seq("example.com/a", "other.org/b", "mailto:x@y.z"))
+  }
+
+  test("host keeps 'www.' when www IS the registrable domain (PSL exception/suffix rules)") {
+    import org.apache.spark.sql.functions.col
+    val got = Seq("https://www.ck/x", "https://www.co.uk/x", "https://www.example.com/x")
+      .toDF("u")
+      .select(UrlOps.host(col("u")).as("h"), UrlOps.registeredDomain(col("u")).as("rd"))
+      .as[(String, String)].collect().toSeq
+    // stripping would merge the registered site with its bare public suffix
+    // and contradict registered_domain on the same row
+    assert(got == Seq(("www.ck", "www.ck"), ("www.co.uk", "www.co.uk"),
+      ("example.com", "example.com")), s"got $got")
+  }
+
   test("pathDepth of root and empty paths is 0") {
     val got = Seq("https://example.com/", "https://example.com")
       .toDF("u").select(UrlOps.pathDepth($"u")).as[Int].collect().toSeq
