@@ -460,10 +460,16 @@ object SparkEntry {
   /** q31's operator at PRODUCTION params: near-dup pairs from the bucketed
     * LSH join at threshold 0.9. Output restricted to the planted copy pairs
     * (guaranteed full-table collisions; the corpus has no other pairs ≥ 0.9,
-    * so the restriction drops only sub-threshold noise — none).
+    * so the restriction drops only sub-threshold noise — none). The
+    * hot-bucket cap is disabled for the same reason as q31: the oracle's
+    * "every planted pair surfaces" proof requires exhaustive semantics, and
+    * a cap-sized bucket at a larger SF would silently invalidate it; the
+    * cap's observable drop behavior is spec-tested (SimilaritySpec
+    * hot-bucket case) rather than oracled.
     */
   private def q51(s: SparkSession, dir: String): DataFrame =
-    Similarity.nearDupPairs(embWithCopies(s, dir), 0.9, tables = 8, bitsPerTable = 16)
+    Similarity.nearDupPairs(embWithCopies(s, dir), 0.9, tables = 8, bitsPerTable = 16,
+      maxBucketSize = Int.MaxValue)
       .where(col("id_b") - col("id_a") === 1000000L)
       .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine"))
 
@@ -1268,9 +1274,11 @@ object SparkEntry {
     "q16_fingerprint_sha" ->
       // same Unicode whitespace class as TextFunctions.collapseWhitespace
       // (RE2 \x{hhhh} syntax) so oracle and operator stay equivalent on
-      // NBSP-style cosmetic noise, not just ASCII corpora
+      // NBSP-style cosmetic noise, not just ASCII corpora. \x{000b} is
+      // explicit because RE2's \s is [\t\n\f\r ] while the operator's Java
+      // \s includes vertical tab.
       """SELECT doc_id, sha256(trim(regexp_replace(lower(text),
-        |   '[\s\x{001c}-\x{001f}\x{0085}\x{00a0}\x{1680}\x{2000}-\x{200a}\x{2028}\x{2029}\x{202f}\x{205f}\x{3000}]+',
+        |   '[\s\x{000b}\x{001c}-\x{001f}\x{0085}\x{00a0}\x{1680}\x{2000}-\x{200a}\x{2028}\x{2029}\x{202f}\x{205f}\x{3000}]+',
         |   ' ', 'g'))) AS fingerprint
         | FROM documents""".stripMargin,
     "q17_cc_exact_dup_clusters" ->
@@ -1301,19 +1309,19 @@ object SparkEntry {
     "q23_token_count" ->
       """SELECT doc_id,
         | CASE WHEN length(trim(text)) = 0 THEN 0
-        |      ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_ws_tokens,
+        |      ELSE len(regexp_split_to_array(trim(text), '[\s\x{000b}]+')) END AS n_ws_tokens,
         | CASE WHEN length(trim(text)) = 0 THEN 0
-        |      ELSE len(regexp_extract_all(text, '\w+|[^\w\s]')) END AS n_subword_est
+        |      ELSE len(regexp_extract_all(text, '\w+|[^\w\s\x{000b}]')) END AS n_subword_est
         | FROM documents""".stripMargin,
     "q24_quality_metrics" ->
       """WITH c AS (
         | SELECT doc_id, text,
         |  length(text) AS n_chars_m,
         |  CASE WHEN length(trim(text)) = 0 THEN 0
-        |       ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+        |       ELSE len(regexp_split_to_array(trim(text), '[\s\x{000b}]+')) END AS n_tokens,
         |  length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS punct,
         |  length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS upper,
-        |  ' ' || regexp_replace(lower(text), '\s+', '  ', 'g') || ' ' AS p
+        |  ' ' || regexp_replace(lower(text), '[\s\x{000b}]+', '  ', 'g') || ' ' AS p
         | FROM documents),
         | k AS (SELECT doc_id, n_chars_m, n_tokens, punct, upper,
         |  (length(p) - length(replace(p, ' the ', ''))) / 5
@@ -1336,9 +1344,9 @@ object SparkEntry {
         | SELECT doc_id, text,
         |  length(text) AS n_chars,
         |  CASE WHEN length(trim(text)) = 0 THEN 0
-        |       ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+        |       ELSE len(regexp_split_to_array(trim(text), '[\s\x{000b}]+')) END AS n_tokens,
         |  length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS punct,
-        |  ' ' || regexp_replace(lower(text), '\s+', '  ', 'g') || ' ' AS p
+        |  ' ' || regexp_replace(lower(text), '[\s\x{000b}]+', '  ', 'g') || ' ' AS p
         | FROM documents),
         | k AS (SELECT doc_id, n_chars, n_tokens,
         |  round(punct::DOUBLE / greatest(n_chars, 1), 6) AS punct_ratio,
@@ -1362,7 +1370,7 @@ object SparkEntry {
     "q26_lang_id" ->
       """WITH c AS (
         | SELECT doc_id,
-        |  ' ' || regexp_replace(lower(text), '\s+', '  ', 'g') || ' ' AS p
+        |  ' ' || regexp_replace(lower(text), '[\s\x{000b}]+', '  ', 'g') || ' ' AS p
         | FROM documents),
         | k AS (SELECT doc_id,
         |  (length(p) - length(replace(p, ' der ', ''))) / 5
@@ -1484,7 +1492,7 @@ object SparkEntry {
       // operator's keep-the-husk posture (no such docs exist in testdata —
       // the CASE arms keep both sides equivalent beyond it)
       """WITH t AS (SELECT doc_id, CASE WHEN text IS NULL OR length(trim(text)) = 0
-        |    THEN []::VARCHAR[] ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+        |    THEN []::VARCHAR[] ELSE regexp_split_to_array(trim(text), '[\s\x{000b}]+') END AS toks
         |  FROM documents),
         | base AS (SELECT doc_id, len(toks) AS n_toks, len(list_distinct(toks)) AS n_distinct FROM t),
         | bg AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(toks)-1),
@@ -1504,7 +1512,7 @@ object SparkEntry {
         | 2 AS path_depth
         | FROM documents""".stripMargin,
     "q44_top_ngrams" ->
-      """WITH t AS (SELECT regexp_split_to_array(trim(text), '\s+') AS toks
+      """WITH t AS (SELECT regexp_split_to_array(trim(text), '[\s\x{000b}]+') AS toks
         |  FROM documents WHERE length(trim(text)) > 0),
         | g AS (SELECT unnest(list_transform(generate_series(1, len(toks)-2),
         |   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS gram
@@ -1521,7 +1529,7 @@ object SparkEntry {
         |  max(CASE WHEN rn = CAST(floor(((n-1)*99)::DOUBLE / 100.0) AS BIGINT) + 1 THEN n_chars END) AS p99
         | FROM r GROUP BY lang""".stripMargin,
     "q46_decontamination" ->
-      """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+      """WITH t AS (SELECT doc_id, list_filter(regexp_split_to_array(text, '[\s\x{000B}]+'), x -> x <> '') AS toks FROM documents),
         | g AS (SELECT doc_id, unnest(list_distinct(list_transform(generate_series(1, len(toks)-4),
         |   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4]))) AS gram
         |  FROM t WHERE len(toks) >= 5),
@@ -1544,9 +1552,9 @@ object SparkEntry {
          |  SELECT doc_id, text,
          |   length(text) AS n_chars,
          |   CASE WHEN length(trim(text)) = 0 THEN 0
-         |        ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
+         |        ELSE len(regexp_split_to_array(trim(text), '[\\s\\x{000b}]+')) END AS n_tokens,
          |   length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS punct,
-         |   ' ' || regexp_replace(lower(text), '\\s+', '  ', 'g') || ' ' AS p
+         |   ' ' || regexp_replace(lower(text), '[\\s\\x{000b}]+', '  ', 'g') || ' ' AS p
          |  FROM documents),
          | k AS (SELECT doc_id, n_chars, n_tokens,
          |   round(punct::DOUBLE / greatest(n_chars, 1), 6) AS punct_ratio,

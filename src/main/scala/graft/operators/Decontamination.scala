@@ -25,16 +25,19 @@ import graft.functions.Hashing
   */
 object Decontamination {
 
-  /** Distinct 64-bit hashes of word n-grams (whitespace tokenization —
-    * `split(trim(text), "\\s+")` semantics, portable to the DuckDB oracle).
-    * Blank/null text → no grams: `split("", "\\s+")` is `[""]` (one empty
-    * token), which at n=1 would otherwise emit a phantom empty-string gram
-    * that marks every blank doc as "sharing content" with a blank
-    * benchmark row.
+  /** Distinct 64-bit hashes of word n-grams (whitespace tokenization).
+    * Empty tokens are filtered AFTER the split rather than trimmed before
+    * it: Spark's `trim` strips only ASCII spaces and `split` keeps
+    * leading/trailing empty tokens, so text bounded by tabs/newlines would
+    * otherwise emit phantom empty-string tokens — at n=1 every
+    * newline-terminated doc would "share" the empty gram with every other,
+    * and at higher n a trailing empty token lets an (n-1)-word overlap
+    * masquerade as an n-gram hit. Null text and whitespace-only text both
+    * reduce to zero tokens → no grams.
     */
   def ngramHashes(text: Column, n: Int, seed: Long = 42L): Column =
-    when(text.isNull || length(trim(text)) === 0, array().cast("array<long>"))
-      .otherwise(Hashing.shingleHashes(split(trim(text), "\\s+"), n, seed))
+    Hashing.shingleHashes(
+      filter(split(coalesce(text, lit("")), "\\s+"), t => length(t) > 0), n, seed)
 
   /** The benchmark's distinct gram-hash table: one row per distinct n-gram
     * across the whole benchmark corpus — `(gram_hash: long)`.

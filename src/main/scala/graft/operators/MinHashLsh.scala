@@ -69,15 +69,32 @@ object MinHashLsh {
         sum(when(col("count") > 1, col("count") * (col("count") - 1) / 2).otherwise(0)).as("candidate_pairs_upper")
       )
 
+  /** Drop every row whose `keyCol` bucket holds more than `cap` members —
+    * the hot-bucket guard shared by the band join, the SimHash block join
+    * and the embedding-LSH bucket join ([[graft.operators.Similarity
+    * .nearDupPairs]]). Hot keys are few by construction (each one holds
+    * > cap rows), so they broadcast. `cap == Int.MaxValue` skips the prune
+    * entirely (exhaustive semantics, no counting shuffle); `cap < 1` would
+    * silently drop every non-empty bucket, so it's rejected.
+    */
+  private[operators] def pruneHotBuckets(rows: DataFrame, keyCol: String, cap: Int): DataFrame =
+    if (cap == Int.MaxValue) rows
+    else {
+      require(cap >= 1, s"maxBucketSize must be >= 1, got $cap")
+      val hotKeys = rows.groupBy(keyCol).count()
+        .where(col("count") > cap)
+        .select(keyCol)
+      // NOTE: the Seq-key anti-join moves keyCol first in the output —
+      // callers must select columns by NAME afterwards, never by position
+      rows.join(broadcast(hotKeys), Seq(keyCol), "left_anti")
+    }
+
   /** LSH candidate pairs: (node_a, node_b) with node_a < node_b, deduped
     * across bands, hot buckets dropped (observable via [[bucketStats]]).
     */
   def lshCandidates(sigs: DataFrame, cfg: GraftConfig): DataFrame = {
     val b = bands(sigs, cfg)
-    val hotKeys = b.groupBy("band_key").count()
-      .where(col("count") > cfg.lsh.maxBucketSize)
-      .select("band_key")
-    val pruned = b.join(broadcast(hotKeys), Seq("band_key"), "left_anti")
+    val pruned = pruneHotBuckets(b, "band_key", cfg.lsh.maxBucketSize)
     val a = pruned.alias("a")
     val bb = pruned.alias("b")
     a.join(bb, col("a.band_key") === col("b.band_key") && col("a.node") < col("b.node"))
@@ -94,10 +111,7 @@ object MinHashLsh {
     val d = cfg.simhash.maxHammingDistance
     val blocks = sigs.where(col("simhash").isNotNull)
       .select(col("node"), col("simhash"), explode(Hashing.simHashBlocks(col("simhash"), d + 1)).as("block_key"))
-    val hotKeys = blocks.groupBy("block_key").count()
-      .where(col("count") > cfg.lsh.maxBucketSize)
-      .select("block_key")
-    val pruned = blocks.join(broadcast(hotKeys), Seq("block_key"), "left_anti")
+    val pruned = pruneHotBuckets(blocks, "block_key", cfg.lsh.maxBucketSize)
     val a = pruned.alias("a")
     val b = pruned.alias("b")
     a.join(b, col("a.block_key") === col("b.block_key") && col("a.node") < col("b.node"))

@@ -230,12 +230,7 @@ object Similarity {
   ): DataFrame = {
     val b = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"),
       explode(lshBuckets(col(vecCol), tables, bitsPerTable, seed)).as("bucket"))
-    val pruned = if (maxBucketSize == Int.MaxValue) b else {
-      val hotKeys = b.groupBy("bucket").count()
-        .where(col("count") > maxBucketSize)
-        .select("bucket")
-      b.join(broadcast(hotKeys), Seq("bucket"), "left_anti")
-    }
+    val pruned = MinHashLsh.pruneHotBuckets(b, "bucket", maxBucketSize)
     // rename BY NAME: the Seq-key anti-join reorders columns (bucket first),
     // so a positional toDF would silently misassign them
     val a = pruned.select(col("id").as("id_a"), col("vec").as("vec_a"), col("bucket"))
@@ -426,13 +421,23 @@ object CosineLshKeys {
 
   private[operators] def planesFor(
       seed: Long, tables: Int, bits: Int, dim: Int): Array[Array[Double]] = {
+    val key = (seed, tables, bits, dim)
+    // fast path: no size bookkeeping on the per-row hot path
+    val hit = planes.get(key)
+    if (hit != null) return hit
     // bound the executor-lifetime cache: a long-lived JVM cycling many
     // (seed, dims) configs must not accumulate plane matrices forever.
-    // Cleared OUTSIDE computeIfAbsent (clear inside a mapping function can
-    // deadlock on bin locks); a cleared-then-recomputed entry is harmless.
-    if (planes.size >= 32 && !planes.containsKey((seed, tables, bits, dim)))
-      planes.clear()
-    planes.computeIfAbsent((seed, tables, bits, dim), _ => {
+    // Evict ONE arbitrary entry, not the whole map — a clear() would wipe
+    // matrices other concurrently-running queries on this executor are
+    // cycling through, recompute-thrashing both jobs. Evicted OUTSIDE
+    // computeIfAbsent (structural mutation inside a mapping function can
+    // deadlock on bin locks); racing threads may evict a couple of extra
+    // entries, which is harmless — an evicted-then-needed entry recomputes.
+    if (planes.size >= 32) {
+      val it = planes.keySet().iterator()
+      if (it.hasNext) { it.next(); it.remove() }
+    }
+    planes.computeIfAbsent(key, _ => {
       val out = new Array[Array[Double]](tables * bits)
       var t = 0
       while (t < tables) {

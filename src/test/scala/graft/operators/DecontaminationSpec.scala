@@ -66,6 +66,27 @@ class DecontaminationSpec extends SparkSpec {
     assert(kept.count() == 3, "blank docs share no actual content — none may be removed")
   }
 
+  test("non-space whitespace at the text boundary emits no phantom empty token") {
+    // trailing \n / leading \t survive Spark's space-only trim; split keeps
+    // the resulting boundary empty tokens, so without the post-split filter
+    // a 4-word overlap would masquerade as a 5-gram hit via the trailing ""
+    val b = Seq((900L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    val grams = Decontamination.benchmarkGrams(b, "text", 5)
+    val d = Seq(
+      (1L, "x y beta gamma delta epsilon\n"), // 4-word overlap + trailing \n — clean
+      (2L, "\talpha beta gamma delta epsilon\n"), // real 5-gram overlap — dirty
+      (3L, "\t\n "), // whitespace-only "blank" doc — no grams at all
+      (4L, "\n\n") // newline-only vs newline-terminated docs share nothing
+    ).toDF("doc_id", "text")
+    val hits = Decontamination.report(d, "doc_id", "text", grams, 5)
+      .as[(Long, Long)].collect().toMap
+    assert(hits == Map(2L -> 1L), s"phantom-token contamination: $hits")
+    // at n=1: docs 3/4 contribute nothing, docs 1/2 exactly their distinct
+    // real tokens (6 + 5) — no empty-string token hash anywhere
+    val n1 = d.select(explode(Decontamination.ngramHashes(col("text"), 1)).as("g"))
+    assert(n1.count() == 11, s"n=1 grams must be the 11 real tokens, got ${n1.count()}")
+  }
+
   test("a doc is never contaminated by n-grams it merely repeats internally") {
     // doc repeats its own phrase; benchmark shares nothing
     val selfRep = Seq((7L, "repeat me now repeat me now repeat me now again ok")).toDF("doc_id", "text")
