@@ -242,16 +242,20 @@ object Bench {
       import org.apache.spark.sql.functions.{col, xxhash64}
       val pages = spark.read.parquet(path)
       val p = new DedupPipeline(spark, GraftConfig.default)
-      val res = p.runAll(pages)
-      val urlNode = pages.select(col("url"), xxhash64(col("url")).as("node"))
-        .join(res.labels, "node").select(col("url"), col("component"))
-      val joined = PagesGen.truthPairs(spark, n).where(col("label") === "same")
-        .join(urlNode.toDF("url_a", "comp_a"), "url_a")
-        .join(urlNode.toDF("url_b", "comp_b"), "url_b")
-      val total = joined.count()
-      val hit = joined.where(col("comp_a") === col("comp_b")).count()
-      p.unpersistAll()
-      if (total == 0) -1.0 else hit.toDouble / total
+      // unpersist in finally: a throw after runAll must not leak a corpus
+      // worth of persisted stages into the session that next generates the
+      // 2M-doc scaling corpora on this memory-margin-critical host
+      try {
+        val res = p.runAll(pages)
+        val urlNode = pages.select(col("url"), xxhash64(col("url")).as("node"))
+          .join(res.labels, "node").select(col("url"), col("component"))
+        val joined = PagesGen.truthPairs(spark, n).where(col("label") === "same")
+          .join(urlNode.toDF("url_a", "comp_a"), "url_a")
+          .join(urlNode.toDF("url_b", "comp_b"), "url_b")
+        val total = joined.count()
+        val hit = joined.where(col("comp_a") === col("comp_b")).count()
+        if (total == 0) -1.0 else hit.toDouble / total
+      } finally p.unpersistAll()
     } catch { case _: Throwable => -1.0 }
 
   // ------------------------------------------------------------------ main
@@ -520,6 +524,11 @@ object Bench {
     // steal-robust estimator; the first run also serves as that query's
     // page-cache/codegen warm-up.
     val results = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+    // Failed queries must be VISIBLE, not silently timed as their failure
+    // latency — a missing table would otherwise render as a fast-looking
+    // complete block (the opposite of the evidence-honesty discipline the
+    // transport fixes bought). Names land in the full JSON line + stderr.
+    val queryErrors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     def setQueryJson(): Unit = {
       queriesJson = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
         .mkString("{", ",", "}")
@@ -527,12 +536,13 @@ object Bench {
       queriesJsonC = results.map { case (k, v) =>
         "\"" + k.takeWhile(_ != '_') + f"\":$v%.2f" }.mkString("{", ",", "}")
       totalQuerySecs = results.map(_._2).sum
+      // errors ride along on EVERY emit, including the every-10-queries
+      // progressive ones — a kill mid-block must not render a failed
+      // query's failure latency as a legitimate fast timing
+      if (queryErrors.nonEmpty)
+        queriesJsonErr = queryErrors
+          .map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }.mkString("{", ",", "}")
     }
-    // Failed queries must be VISIBLE, not silently timed as their failure
-    // latency — a missing table would otherwise render as a fast-looking
-    // complete block (the opposite of the evidence-honesty discipline the
-    // transport fixes bought). Names land in the full JSON line + stderr.
-    val queryErrors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val benched = SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot { case (name, _) => verifyOnly(name) }
     benched.zipWithIndex.foreach { case ((name, fn), i) =>
@@ -549,9 +559,6 @@ object Bench {
       results += name -> math.min(once(), once())
       if ((i + 1) % 10 == 0) { setQueryJson(); emit() } // kill mid-block keeps evidence
     }
-    if (queryErrors.nonEmpty)
-      queriesJsonErr = queryErrors
-        .map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }.mkString("{", ",", "}")
     setQueryJson()
     emit()
 
@@ -687,9 +694,15 @@ object Bench {
       // 1.15 margin on the observed round cost: the budget is now sized to
       // the driver's kill window, so starting a round that then overruns is
       // the failure mode to avoid (a skipped round costs one median sample;
-      // an overrun costs the exit code).
+      // an overrun costs the exit code). Round 0 has no measured cost yet
+      // and its evidence (the north-rule primary) outranks the exit code,
+      // so it runs whenever ANY budget remains — but an ALREADY-blown
+      // budget (a steal-crippled query/headline block) must not launch a
+      // ~1000 s round that guarantees the kill; the caller marks the block
+      // "skipped_budget" instead.
       while (r < maxR && cleanRounds.size < math.min(cleanTarget, maxR) &&
-          (r == 0 || elapsed + roundCost * 1.15 + effReserve < budgetSecs)) {
+          (if (r == 0) elapsed < budgetSecs
+           else elapsed + roundCost * 1.15 + effReserve < budgetSecs)) {
         val rt0 = elapsed
         try {
           val (tH, fH) = levelRun(mkHi, path, rHi)
@@ -768,6 +781,12 @@ object Bench {
       catch { case e2: Throwable =>
         System.err.println(s"[bench] thread scaling failed too: ${e2.getMessage}")
       }
+    }
+    // All three stages produced zero rounds: say WHY in the JSON rather
+    // than leaving a silent null (same discipline as the sat block below).
+    if (scalingJson == "null") {
+      val tag = if (elapsed >= budgetSecs) "\"skipped_budget\"" else "\"skipped_error\""
+      scalingJson = tag; scalingJsonC = tag
     }
 
     // Saturated-spec diagnostic: single round, single rep per level — it is

@@ -94,13 +94,17 @@ object RunDedup {
   private[graft] def inputFingerprint(spark: SparkSession, spec: String,
       df: DataFrame): String = {
     val md = java.security.MessageDigest.getInstance("SHA-256")
-    md.update(spec.getBytes("UTF-8"))
+    // NUL-delimit every field: raw concatenation is not injective over
+    // (spec, file list) — a boundary shift between spec and the first path,
+    // or between two paths, would let two different batches collide onto
+    // one checkpoint key, silently replaying the other batch's stages.
+    md.update(spec.getBytes("UTF-8")); md.update(0.toByte)
     val files = df.inputFiles.sorted
     if (files.isEmpty && spec.startsWith("table:"))
       System.err.println(s"[graft] WARN: input '$spec' exposes no data files " +
         "(non-file-backed catalog relation) — the checkpoint key cannot " +
         "detect input changes; use a unique --checkpoint dir per batch")
-    files.foreach(f => md.update(f.getBytes("UTF-8")))
+    files.foreach { f => md.update(f.getBytes("UTF-8")); md.update(0.toByte) }
     // stat only at moderate counts: driver-side listings don't belong in a
     // 10^6-file job's startup, and there the path set alone already shifts
     // with any rewrite

@@ -50,12 +50,15 @@ object ConnectedComponents {
     val spark = edges.sparkSession
     import spark.implicits._
 
-    // symmetrize + dedup + drop self-loops
+    // canonicalize orientation + dedup + drop self-loops: (b,a) must
+    // collapse onto (a,b) BEFORE distinct(), or symmetrically-recorded
+    // edge lists double the round-1 shuffle and inflate the edge count the
+    // driver-finish cutover is gated on (a 600k-unique-edge graph recorded
+    // both ways would read as 1.2M > 2^20 and skip the local finisher)
     var e = edges
       .select($"src".cast("long"), $"dst".cast("long"))
       .where($"src" =!= $"dst")
-      .select(array($"src", $"dst").as("p"))
-      .select(element_at($"p", 1).as("src"), element_at($"p", 2).as("dst"))
+      .select(least($"src", $"dst").as("src"), greatest($"src", $"dst").as("dst"))
       .distinct()
       .localCheckpoint(true)
 

@@ -79,8 +79,24 @@ object Multimodal {
   private def decodeImageImpl(img: java.awt.image.BufferedImage,
                               grid: Int): Option[(Int, Int, Int, Array[Float])] = {
     val (w, h) = (img.getWidth, img.getHeight)
+    val cm = img.getColorModel
+    // Palette images (indexed PNG) sample palette INDICES, not intensities —
+    // go through the color model per pixel like decodeGif does.
+    val indexed = cm.isInstanceOf[java.awt.image.IndexColorModel]
     val raster = img.getRaster
     val bands = raster.getNumBands
+    // Alpha is opacity, not luminance: averaging it in would lift an opaque
+    // black RGBA pixel to gray ~64. Color bands only (alpha is the last band
+    // by ColorModel contract).
+    val colorBands = if (!indexed && cm.hasAlpha && bands > 1) bands - 1 else bands
+    // Per-band rescale to the canonical 0..255 range: a 16-bit-per-channel
+    // PNG samples up to 65535 and would push gray and the grid feature far
+    // outside their documented ranges.
+    val compSize = cm.getComponentSize
+    val scale = Array.tabulate(colorBands) { b =>
+      val bits = if (compSize != null && b < compSize.length) compSize(b) else 8
+      if (bits == 8) 1.0 else 255.0 / ((1L << bits) - 1).toDouble
+    }
     // mean-pool into a grid×grid grayscale feature + global mean in one pass
     val cellSum = new Array[Double](grid * grid)
     val cellN = new Array[Long](grid * grid)
@@ -90,10 +106,16 @@ object Multimodal {
       val cy = math.min(grid - 1, y * grid / h)
       var x = 0
       while (x < w) {
-        var s = 0.0
-        var b = 0
-        while (b < bands) { s += raster.getSampleDouble(x, y, b); b += 1 }
-        val g = s / bands
+        val g =
+          if (indexed) {
+            val rgb = img.getRGB(x, y)
+            (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3.0
+          } else {
+            var s = 0.0
+            var b = 0
+            while (b < colorBands) { s += raster.getSampleDouble(x, y, b) * scale(b); b += 1 }
+            s / colorBands
+          }
         val c = cy * grid + math.min(grid - 1, x * grid / w)
         cellSum(c) += g; cellN(c) += 1; total += g
         x += 1
@@ -341,7 +363,7 @@ object Multimodal {
     *   audio: amp 1000+(id%50)*100, 800+(id%5)*80 samples @8kHz = 100+(id%5)*10 ms
     *   video: 2+id%4 frames of 8+id%9 × 8+id%6, frame f gray (id*31+f*17)%256
     */
-  def syntheticMedia(spark: SparkSession, n: Long, seed: Long = 42L): DataFrame = {
+  def syntheticMedia(spark: SparkSession, n: Long): DataFrame = {
     import spark.implicits._
     val rows = spark.range(n).map { id =>
       val kind = Seq("image", "audio", "video")((id % 3).toInt)

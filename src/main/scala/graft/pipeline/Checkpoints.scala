@@ -60,6 +60,13 @@ final class Checkpoints(spark: SparkSession, workDir: String, configHash: String
   def stage(name: String)(compute: => DataFrame): DataFrame = {
     if (!isComplete(name)) {
       val t0 = System.nanoTime()
+      // Invalidate the meta sidecar BEFORE the data overwrite: the
+      // overwrite deletes the previous config's files first, so a crash
+      // anywhere between that delete and the meta write at the end of this
+      // block would otherwise leave the OLD config's meta pointing at the
+      // new config's (possibly partial) data — a later run under the old
+      // config would then skip recompute and serve the wrong rows.
+      fs(metaPath(name)).delete(new Path(metaPath(name)), false)
       val df = compute
       df.write.mode("overwrite").parquet(dataPath(name))
       val wallMs = (System.nanoTime() - t0) / 1000000L
@@ -240,7 +247,10 @@ final class Checkpoints(spark: SparkSession, workDir: String, configHash: String
           s""""$k":"?([^",}]+)"?""".r.findFirstMatchIn(raw).map(_.group(1)).getOrElse(
             throw new IllegalStateException(s"bad bucketmeta for $name: $raw"))
         val ddl = """"ddl":"((?:[^"\\]|\\.)*)"""".r.findFirstMatchIn(raw)
-          .map(_.group(1).replace("\\\"", "\"")).get
+          .map(_.group(1).replace("\\\"", "\"")).getOrElse(
+            // same diagnostic shape as field(): a truncated sidecar must
+            // name the table and content, not die with a bare None.get
+            throw new IllegalStateException(s"bad bucketmeta ddl for $name: $raw"))
         spark.sql(
           s"""CREATE TABLE $t ($ddl) USING PARQUET
              |CLUSTERED BY (${field("bucket_col")})
@@ -271,10 +281,19 @@ final class Checkpoints(spark: SparkSession, workDir: String, configHash: String
     f.create(new Path(s"$workDir/${name}__flag_$configHash"), true).close()
   }
 
-  /** Small config-keyed sidecar table (parquet), if it exists. */
+  /** Small config-keyed sidecar table (parquet), if it exists. Existence
+    * means COMMITTED: the job-commit `_SUCCESS` marker is required, because
+    * the write creates the directory at job start — a crash mid-write
+    * leaves a dir whose partial/empty rows a replayed fold would otherwise
+    * pin as the authoritative set (e.g. IncrementalDedup's novel-node
+    * sidecar silently dropping the batch's genuinely-novel documents).
+    */
   def sideTable(name: String): Option[DataFrame] = {
     val p = s"$workDir/${name}__side_$configHash"
-    if (fs(workDir).exists(new Path(p))) Some(spark.read.parquet(p)) else None
+    val f = fs(workDir)
+    if (f.exists(new Path(p)) && f.exists(new Path(p, "_SUCCESS")))
+      Some(spark.read.parquet(p))
+    else None
   }
 
   /** Write a small sidecar table and return it READ BACK from disk (the
@@ -296,9 +315,19 @@ final class Checkpoints(spark: SparkSession, workDir: String, configHash: String
       else f.listStatus(root)
         .filter(st => st.isDirectory && st.getPath.getName.endsWith("__lineage"))
         .map(_.getPath.toString)
-    if (lineageDirs.isEmpty)
-      spark.emptyDataFrame
-    else
+    if (lineageDirs.isEmpty) {
+      // empty-but-SCHEMA'D: spark.emptyDataFrame has zero columns, so a
+      // caller selecting the documented lineage columns before the first
+      // stage lands would throw AnalysisException instead of seeing 0 rows
+      import org.apache.spark.sql.types._
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(
+          StructField("partition_id", IntegerType),
+          StructField("rows", LongType),
+          StructField("stage", StringType),
+          StructField("config_hash", StringType))))
+    } else
       lineageDirs.map(spark.read.parquet(_)).reduce(_ unionByName _)
   }
 }

@@ -53,14 +53,18 @@ object PagesStream {
     triggered.start()
   }
 
-  /** Streaming exact-dedup: emit only the FIRST page per content
-    * fingerprint, with dedup state bounded by the event-time watermark
-    * (`dropDuplicatesWithinWatermark` — state for a fingerprint expires
-    * once the watermark passes it, so state size tracks the window, not
-    * the corpus). The incremental analog of the batch exact-dedup tier
-    * (q14-q17); duplicates arriving later than the watermark delay re-emit
-    * — the documented bounded-state tradeoff, resolved downstream by the
-    * batch pipeline.
+  /** Streaming exact-dedup: emit only the first-ARRIVING page per content
+    * fingerprint — arrival order, NOT earliest `warc_ts`: micro-batches
+    * pick up crawl drops non-chronologically, so when two copies arrive out
+    * of event-time order the later-crawled one can be the survivor. The
+    * batch tier's earliest-wins canonical selection (q14-q17) supersedes
+    * this choice downstream; the stream's contract is one-per-fingerprint
+    * within the window, not which one. Dedup state is bounded by the
+    * event-time watermark (`dropDuplicatesWithinWatermark` — state for a
+    * fingerprint expires once the watermark passes it, so state size tracks
+    * the window, not the corpus); duplicates arriving later than the
+    * watermark delay re-emit — the documented bounded-state tradeoff,
+    * resolved downstream by the batch pipeline.
     */
   def dedupStream(
       spark: SparkSession,
@@ -227,15 +231,23 @@ object PagesStream {
             }
             state.update(seen)
             if (dropped > 0L) droppedCounter.foreach(_.add(dropped))
-            // expire this bucket's state one TTL past the watermark. In the
-            // FIRST micro-batch the watermark is still 0 — a key created
-            // there that never recurs would otherwise carry state forever
-            // (no timeout ever registered), so anchor on the batch's own
-            // max event time as the watermark's stand-in.
-            // flatMap over Option(ts): defense in depth vs the upstream
-            // isNotNull filter, and the watermark seed keeps `max` total.
-            val anchor = (Iterator(state.getCurrentWatermarkMs()) ++
-              batch.iterator.flatMap(r => Option(r.ts).map(_.getTime))).max
+            // expire this bucket's state one TTL past the watermark —
+            // anchored on the WATERMARK itself, not the batch's max event
+            // time: in a steady stream the batch's events lead the
+            // watermark by the watermark delay, so an event-time anchor
+            // would hold state ~watermarkDelay + ttl past the watermark
+            // (2× the documented bound when the two are equal, as the
+            // candidatePairStream defaults make them). Only in the FIRST
+            // micro-batch, where the watermark is still 0, does the batch's
+            // own max event time stand in — a key created there that never
+            // recurs would otherwise carry state forever (no timeout ever
+            // registered). flatMap over Option(ts): defense in depth vs
+            // the upstream isNotNull filter; foldLeft keeps `max` total.
+            val wm = state.getCurrentWatermarkMs()
+            val anchor =
+              if (wm > 0L) wm
+              else batch.iterator.flatMap(r => Option(r.ts).map(_.getTime))
+                .foldLeft(0L)(math.max)
             state.setTimeoutTimestamp(anchor + ttlMillis)
             out.result().iterator
           }

@@ -18,6 +18,37 @@ class MultimodalSpec extends SparkSpec {
     feat.foreach(f => assert(math.abs(f - 137f / 255f) < 1e-6f))
   }
 
+  test("image decode: alpha is not luminance, high bit depths and palettes normalize to 0..255") {
+    import java.awt.image.BufferedImage
+    def png(img: BufferedImage): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+    // opaque black RGBA: averaging the alpha band in would report gray ~64
+    val argb = new BufferedImage(8, 8, BufferedImage.TYPE_INT_ARGB)
+    for (y <- 0 until 8; x <- 0 until 8) argb.setRGB(x, y, 0xFF000000)
+    val Some((_, _, gBlack, featBlack)) = Multimodal.decodeImage(png(argb))
+    assert(gBlack == 0, s"opaque black RGBA must decode to gray 0, got $gBlack")
+    featBlack.foreach(f => assert(f == 0f))
+    // 16-bit gray at full scale: samples reach 65535 and must rescale to 255
+    val u16 = new BufferedImage(8, 8, BufferedImage.TYPE_USHORT_GRAY)
+    for (y <- 0 until 8; x <- 0 until 8) u16.getRaster.setSample(x, y, 0, 65535)
+    val Some((_, _, g16, feat16)) = Multimodal.decodeImage(png(u16))
+    assert(g16 == 255, s"full-scale 16-bit gray must decode to 255, got $g16")
+    feat16.foreach(f => assert(math.abs(f - 1f) < 1e-3f))
+    // indexed PNG: raster samples are palette indices, not intensities —
+    // palette slot 3 holds pure white, so the decoded gray must be 255
+    val pal = {
+      val c = Array.tabulate(4)(i => if (i == 3) 255.toByte else 0.toByte)
+      new java.awt.image.IndexColorModel(2, 4, c, c, c)
+    }
+    val idx = new BufferedImage(8, 8, BufferedImage.TYPE_BYTE_INDEXED, pal)
+    for (y <- 0 until 8; x <- 0 until 8) idx.getRaster.setSample(x, y, 0, 3)
+    val Some((_, _, gIdx, _)) = Multimodal.decodeImage(png(idx))
+    assert(gIdx == 255, s"indexed white must decode to gray 255, got $gIdx")
+  }
+
   test("audio decode recovers exact duration and RMS from real WAV bytes") {
     val wav = Multimodal.encodeSquareWav(880, 1500)
     val Some((durMs, rms, feat)) = Multimodal.decodeWav(wav)
