@@ -1214,7 +1214,25 @@ object SparkEntry {
       |  len(list_distinct(list_concat(a.grams, b.grams))) AS j
       | FROM g a JOIN g b ON a.doc_id < b.doc_id""".stripMargin
 
-  def oracleSql: Map[String, String] = Map(
+  /** RE2/DuckDB rendering of [[graft.functions.TextFunctions.WhitespaceClass]]'s
+    * inner set, derived MECHANICALLY so operator and oracle can never
+    * drift: Java \\uXXXX escapes re-render as RE2 \\x{XXXX}, and
+    * \\x{000b} rides along with \\s because RE2's \\s is [\\t\\n\\f\\r ]
+    * while Java's includes vertical tab. Substituted for the {{WS}}
+    * placeholder in every oracle SQL string by [[oracleSql]].
+    */
+  private[graft] val WsSql: String = {
+    val inner = graft.functions.TextFunctions.WhitespaceClass
+      .stripPrefix("[").stripSuffix("]")
+    val re2 = """\\u([0-9a-fA-F]{4})""".r.replaceAllIn(inner,
+      m => java.util.regex.Matcher.quoteReplacement(s"\\x{${m.group(1)}}"))
+    re2.replace("\\s", "\\s\\x{000b}")
+  }
+
+  def oracleSql: Map[String, String] =
+    oracleSqlRaw.view.mapValues(_.replace("{{WS}}", WsSql)).toMap
+
+  private def oracleSqlRaw: Map[String, String] = Map(
     "q01_search_ilike" ->
       "SELECT doc_id, lang, source FROM documents WHERE lower(text) LIKE '%table scan%'",
     "q02_multi_or_filter" ->
@@ -1278,7 +1296,7 @@ object SparkEntry {
       // explicit because RE2's \s is [\t\n\f\r ] while the operator's Java
       // \s includes vertical tab.
       """SELECT doc_id, sha256(trim(regexp_replace(lower(text),
-        |   '[\s\x{000b}\x{001c}-\x{001f}\x{0085}\x{00a0}\x{1680}\x{2000}-\x{200a}\x{2028}\x{2029}\x{202f}\x{205f}\x{3000}]+',
+        |   '[{{WS}}]+',
         |   ' ', 'g'))) AS fingerprint
         | FROM documents""".stripMargin,
     "q17_cc_exact_dup_clusters" ->
@@ -1308,20 +1326,17 @@ object SparkEntry {
          | SELECT cluster_id, count(*) AS size FROM lbl GROUP BY cluster_id""".stripMargin,
     "q23_token_count" ->
       """SELECT doc_id,
-        | CASE WHEN length(trim(text)) = 0 THEN 0
-        |      ELSE len(regexp_split_to_array(trim(text), '[\s\x{000b}]+')) END AS n_ws_tokens,
-        | CASE WHEN length(trim(text)) = 0 THEN 0
-        |      ELSE len(regexp_extract_all(text, '\w+|[^\w\s\x{000b}]')) END AS n_subword_est
+        | len(list_filter(regexp_split_to_array(coalesce(text, ''), '[{{WS}}]+'), x -> x <> '')) AS n_ws_tokens,
+        | len(regexp_extract_all(coalesce(text, ''), '\w+|[^\w{{WS}}]')) AS n_subword_est
         | FROM documents""".stripMargin,
     "q24_quality_metrics" ->
       """WITH c AS (
         | SELECT doc_id, text,
         |  length(text) AS n_chars_m,
-        |  CASE WHEN length(trim(text)) = 0 THEN 0
-        |       ELSE len(regexp_split_to_array(trim(text), '[\s\x{000b}]+')) END AS n_tokens,
+        |  len(list_filter(regexp_split_to_array(coalesce(text, ''), '[{{WS}}]+'), x -> x <> '')) AS n_tokens,
         |  length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS punct,
         |  length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS upper,
-        |  ' ' || regexp_replace(lower(text), '[\s\x{000b}]+', '  ', 'g') || ' ' AS p
+        |  ' ' || regexp_replace(lower(text), '[{{WS}}]+', '  ', 'g') || ' ' AS p
         | FROM documents),
         | k AS (SELECT doc_id, n_chars_m, n_tokens, punct, upper,
         |  (length(p) - length(replace(p, ' the ', ''))) / 5
@@ -1343,10 +1358,9 @@ object SparkEntry {
       """WITH c AS (
         | SELECT doc_id, text,
         |  length(text) AS n_chars,
-        |  CASE WHEN length(trim(text)) = 0 THEN 0
-        |       ELSE len(regexp_split_to_array(trim(text), '[\s\x{000b}]+')) END AS n_tokens,
+        |  len(list_filter(regexp_split_to_array(coalesce(text, ''), '[{{WS}}]+'), x -> x <> '')) AS n_tokens,
         |  length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS punct,
-        |  ' ' || regexp_replace(lower(text), '[\s\x{000b}]+', '  ', 'g') || ' ' AS p
+        |  ' ' || regexp_replace(lower(text), '[{{WS}}]+', '  ', 'g') || ' ' AS p
         | FROM documents),
         | k AS (SELECT doc_id, n_chars, n_tokens,
         |  round(punct::DOUBLE / greatest(n_chars, 1), 6) AS punct_ratio,
@@ -1370,7 +1384,7 @@ object SparkEntry {
     "q26_lang_id" ->
       """WITH c AS (
         | SELECT doc_id,
-        |  ' ' || regexp_replace(lower(text), '[\s\x{000b}]+', '  ', 'g') || ' ' AS p
+        |  ' ' || regexp_replace(lower(text), '[{{WS}}]+', '  ', 'g') || ' ' AS p
         | FROM documents),
         | k AS (SELECT doc_id,
         |  (length(p) - length(replace(p, ' der ', ''))) / 5
@@ -1482,17 +1496,17 @@ object SparkEntry {
         |  UNION ALL SELECT doc_id, 4, 'pair ' || CAST(doc_id % 250 AS VARCHAR) FROM documents),
         | freq AS (SELECT ln, count(DISTINCT doc_id) AS df FROM lines GROUP BY ln),
         | kept AS (SELECT l.doc_id, l.pos, l.ln FROM lines l JOIN freq f ON l.ln = f.ln
-        |   WHERE f.df < 10 OR length(trim(l.ln)) = 0)
+        |   WHERE f.df < 10 OR length(regexp_replace(l.ln, '[{{WS}}]', '', 'g')) = 0)
         | SELECT doc_id, string_agg(ln, chr(10) ORDER BY pos) AS clean_text,
-        |  count(*) FILTER (WHERE length(trim(ln)) > 0) AS n_kept_lines
+        |  count(*) FILTER (WHERE length(regexp_replace(ln, '[{{WS}}]', '', 'g')) > 0) AS n_kept_lines
         | FROM kept GROUP BY doc_id
-        | HAVING count(*) FILTER (WHERE length(trim(ln)) > 0) > 0""".stripMargin,
+        | HAVING count(*) FILTER (WHERE length(regexp_replace(ln, '[{{WS}}]', '', 'g')) > 0) > 0""".stripMargin,
     "q42_repetition_metrics" ->
       // blank/null-text docs stay visible with zero metrics, mirroring the
       // operator's keep-the-husk posture (no such docs exist in testdata —
       // the CASE arms keep both sides equivalent beyond it)
       """WITH t AS (SELECT doc_id, CASE WHEN text IS NULL OR length(trim(text)) = 0
-        |    THEN []::VARCHAR[] ELSE regexp_split_to_array(trim(text), '[\s\x{000b}]+') END AS toks
+        |    THEN []::VARCHAR[] ELSE list_filter(regexp_split_to_array(text, '[{{WS}}]+'), x -> x <> '') END AS toks
         |  FROM documents),
         | base AS (SELECT doc_id, len(toks) AS n_toks, len(list_distinct(toks)) AS n_distinct FROM t),
         | bg AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(toks)-1),
@@ -1512,7 +1526,7 @@ object SparkEntry {
         | 2 AS path_depth
         | FROM documents""".stripMargin,
     "q44_top_ngrams" ->
-      """WITH t AS (SELECT regexp_split_to_array(trim(text), '[\s\x{000b}]+') AS toks
+      """WITH t AS (SELECT list_filter(regexp_split_to_array(text, '[{{WS}}]+'), x -> x <> '') AS toks
         |  FROM documents WHERE length(trim(text)) > 0),
         | g AS (SELECT unnest(list_transform(generate_series(1, len(toks)-2),
         |   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS gram
@@ -1529,7 +1543,7 @@ object SparkEntry {
         |  max(CASE WHEN rn = CAST(floor(((n-1)*99)::DOUBLE / 100.0) AS BIGINT) + 1 THEN n_chars END) AS p99
         | FROM r GROUP BY lang""".stripMargin,
     "q46_decontamination" ->
-      """WITH t AS (SELECT doc_id, list_filter(regexp_split_to_array(text, '[\s\x{000B}]+'), x -> x <> '') AS toks FROM documents),
+      """WITH t AS (SELECT doc_id, list_filter(regexp_split_to_array(text, '[{{WS}}]+'), x -> x <> '') AS toks FROM documents),
         | g AS (SELECT doc_id, unnest(list_distinct(list_transform(generate_series(1, len(toks)-4),
         |   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4]))) AS gram
         |  FROM t WHERE len(toks) >= 5),
@@ -1551,10 +1565,9 @@ object SparkEntry {
          | c AS (
          |  SELECT doc_id, text,
          |   length(text) AS n_chars,
-         |   CASE WHEN length(trim(text)) = 0 THEN 0
-         |        ELSE len(regexp_split_to_array(trim(text), '[\\s\\x{000b}]+')) END AS n_tokens,
+         |   len(list_filter(regexp_split_to_array(coalesce(text, ''), '[{{WS}}]+'), x -> x <> '')) AS n_tokens,
          |   length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS punct,
-         |   ' ' || regexp_replace(lower(text), '[\\s\\x{000b}]+', '  ', 'g') || ' ' AS p
+         |   ' ' || regexp_replace(lower(text), '[{{WS}}]+', '  ', 'g') || ' ' AS p
          |  FROM documents),
          | k AS (SELECT doc_id, n_chars, n_tokens,
          |   round(punct::DOUBLE / greatest(n_chars, 1), 6) AS punct_ratio,

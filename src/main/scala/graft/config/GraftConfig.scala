@@ -113,6 +113,14 @@ final case class GraftConfig(
     overlap: OverlapConfig = OverlapConfig()
 ) {
 
+  // In the class body so EVERY construction path is covered (default, copy,
+  // fromMap): BandKeys requires bands × rows_per_band ≤ num_hashes on every
+  // row — a directly-constructed config breaking the invariant would
+  // otherwise fail all tasks mid-job instead of at build time.
+  require(lsh.bands * lsh.rowsPerBand <= lsh.numHashes,
+    s"lsh.bands (${lsh.bands}) × lsh.rows_per_band (${lsh.rowsPerBand}) " +
+      s"must be ≤ lsh.num_hashes (${lsh.numHashes})")
+
   /** Stable hash of the config, used to key stage checkpoints (reference
     * analog: content-hash cache keys, `ai_matching/cache.py:21-57`).
     */
@@ -130,7 +138,39 @@ object GraftConfig {
     * `matching/config.py:165-199` — only keys present override defaults).
     * Key space: dotted paths like `lsh.bands`, `thresholds.high`.
     */
+  /** Every dotted override path [[fromMap]] understands. Public so callers
+    * can pre-validate; fromMap rejects anything outside it.
+    */
+  val KnownKeys: Set[String] = Set(
+    "scoring.date", "scoring.geo", "scoring.title", "scoring.description",
+    "thresholds.high", "thresholds.low", "thresholds.title_veto",
+    "geo.max_distance_km", "geo.min_confidence", "geo.neutral_score",
+    "geo.venue_match_distance_km", "geo.venue_mismatch_factor",
+    "date.time_tolerance_minutes", "date.time_close_minutes",
+    "date.close_factor", "date.far_factor",
+    "date.time_gap_penalty_hours", "date.time_gap_penalty_factor",
+    "title.primary_weight", "title.secondary_weight",
+    "title.blend_lower", "title.blend_upper",
+    "cross_source_title.primary_weight", "cross_source_title.secondary_weight",
+    "cross_source_title.blend_lower", "cross_source_title.blend_upper",
+    "cluster.max_cluster_size", "cluster.min_internal_similarity",
+    "cluster.max_distinct_dates", "cluster.warc_date_criterion",
+    "cluster.max_member_list",
+    "lsh.shingle_size", "lsh.num_hashes", "lsh.bands", "lsh.rows_per_band",
+    "lsh.seed", "lsh.jaccard_threshold", "lsh.ambiguous_low",
+    "lsh.max_bucket_size",
+    "simhash.max_hamming_distance", "simhash.seed",
+    "overlap.min_overlap_chars", "overlap.sampling_mod", "overlap.seed")
+
   def fromMap(overrides: Map[String, String], base: GraftConfig = default): GraftConfig = {
+    // Reject unknown keys: a typo'd key ('lsh.bandz') would otherwise run
+    // the WHOLE job on defaults and — worse — checkpoint under the
+    // default configHash, silently reusing stale stage tables. Same
+    // fail-fast posture as RunDedup's missing-props-file guard.
+    val unknown = overrides.keySet -- KnownKeys
+    require(unknown.isEmpty,
+      s"unknown config override key(s): ${unknown.toSeq.sorted.mkString(", ")} " +
+        s"(known keys: ${KnownKeys.toSeq.sorted.mkString(", ")})")
     def d(k: String, v: Double): Double = overrides.get(k).map(_.toDouble).getOrElse(v)
     def i(k: String, v: Int): Int = overrides.get(k).map(_.toInt).getOrElse(v)
     def l(k: String, v: Long): Long = overrides.get(k).map(_.toLong).getOrElse(v)
@@ -187,12 +227,8 @@ object GraftConfig {
         minOverlapChars = i("overlap.min_overlap_chars", base.overlap.minOverlapChars),
         samplingMod = i("overlap.sampling_mod", base.overlap.samplingMod),
         seed = l("overlap.seed", base.overlap.seed)))
-    // Fail fast at config build, not per-row at runtime: BandKeys requires
-    // bands × rows_per_band ≤ num_hashes on EVERY row — an override that
-    // breaks the invariant would otherwise fail all tasks mid-job.
-    require(cfg.lsh.bands * cfg.lsh.rowsPerBand <= cfg.lsh.numHashes,
-      s"lsh.bands (${cfg.lsh.bands}) × lsh.rows_per_band (${cfg.lsh.rowsPerBand}) " +
-        s"must be ≤ lsh.num_hashes (${cfg.lsh.numHashes})")
+    // the bands × rows_per_band ≤ num_hashes invariant is enforced in the
+    // GraftConfig class body, covering this and every other construction path
     cfg
   }
 
@@ -242,6 +278,11 @@ object GraftConfig {
               lit(0L)).as("v"))
         else df.select(col("key"), col("value"), lit(0L).as("v"))
       val rows = withV
+        // cast, don't assume: a table written naturally as (key string,
+        // value double) would make getString throw ClassCastException —
+        // same defensive posture as the version try_cast above
+        .select(col("key").cast("string").as("key"),
+          col("value").cast("string").as("value"), col("v"))
         .where(col("key").isNotNull && col("value").isNotNull)
         .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
       val kv = rows.groupBy(_._1).map { case (k, group) =>
@@ -265,8 +306,12 @@ object GraftConfig {
   def load(spark: org.apache.spark.sql.SparkSession,
       tablePath: Option[String] = None,
       propertiesPath: Option[String] = None): GraftConfig = {
+    // an EXPLICITLY passed properties path that doesn't exist is an error
+    // (fromPropertiesFile throws NoSuchFileException), not a silent
+    // fall-through to defaults — a mistyped path would otherwise run the
+    // job on defaults AND checkpoint under the wrong config hash. Callers
+    // wanting "missing file means defaults" pass None.
     val withProps = propertiesPath
-      .filter(pp => java.nio.file.Files.exists(java.nio.file.Paths.get(pp)))
       .map(pp => fromPropertiesFile(pp, default)).getOrElse(default)
     tablePath.map(tp => fromTable(spark, tp, withProps)).getOrElse(withProps)
   }

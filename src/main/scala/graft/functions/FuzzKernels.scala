@@ -1,9 +1,9 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{DataType, DoubleType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** RapidFuzz-parity similarity kernels as native Catalyst expressions.
@@ -22,31 +22,52 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object FuzzKernels {
 
-  /** Normalized InDel similarity of two raw strings: 2*LCS/(|a|+|b|). */
+  /** Normalized InDel similarity of two raw strings: 2*LCS/(|a|+|b|),
+    * measured in Unicode CODE POINTS like rapidfuzz/Python — not UTF-16
+    * code units: an astral character (emoji in a scraped title) must count
+    * as one symbol on both sides of the ratio, and a lone surrogate must
+    * never LCS-match an unrelated astral character's half.
+    */
   def indelSimilarity(a: String, b: String): Double = {
-    val la = a.length
-    val lb = b.length
+    val ca = codePoints(a)
+    val cb = codePoints(b)
+    val la = ca.length
+    val lb = cb.length
     if (la == 0 && lb == 0) return 1.0 // rapidfuzz: two empty strings → 100
     if (la == 0 || lb == 0) return 0.0
-    val lcs = lcsLength(a, b)
+    val lcs = lcsLength(ca, cb)
     (2.0 * lcs) / (la + lb)
+  }
+
+  private def codePoints(s: String): Array[Int] = {
+    // manual walk: s.codePoints().toArray boxes through a java stream
+    val out = new Array[Int](s.codePointCount(0, s.length))
+    var i = 0
+    var k = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      out(k) = cp
+      k += 1
+      i += Character.charCount(cp)
+    }
+    out
   }
 
   /** Classic O(|a|*|b|) LCS with a rolling 1-D array. Fine for titles and
     * descriptions (short strings); not used on document bodies.
     */
-  private def lcsLength(a: String, b: String): Int = {
+  private def lcsLength(a: Array[Int], b: Array[Int]): Int = {
     val (s, t) = if (a.length <= b.length) (a, b) else (b, a)
     val m = s.length
     val prev = new Array[Int](m + 1)
     val cur = new Array[Int](m + 1)
     var i = 0
     while (i < t.length) {
-      val tc = t.charAt(i)
+      val tc = t(i)
       var j = 0
       while (j < m) {
         cur(j + 1) =
-          if (s.charAt(j) == tc) prev(j) + 1
+          if (s(j) == tc) prev(j) + 1
           else math.max(prev(j + 1), cur(j))
         j += 1
       }
@@ -56,11 +77,18 @@ object FuzzKernels {
     prev(m)
   }
 
-  /** Whitespace tokenization as rapidfuzz does (split on runs of whitespace,
-    * drop empties).
+  // Unicode whitespace, matching Python str.split() (which rapidfuzz's
+  // token variants use) — Java's bare \s is ASCII-only, so a NBSP-joined
+  // scraped venue name would otherwise read as ONE token and miss its
+  // reordered duplicate. Same class TextFunctions.collapseWhitespace uses.
+  private val WsRun =
+    java.util.regex.Pattern.compile(TextFunctions.WhitespaceClass + "+")
+
+  /** Whitespace tokenization as rapidfuzz does (split on runs of Unicode
+    * whitespace, drop empties).
     */
   def splitTokens(s: String): Array[String] =
-    s.split("\\s+").filter(_.nonEmpty)
+    WsRun.split(s).filter(_.nonEmpty)
 
   /** token_sort_ratio: sort whitespace tokens, join with single spaces,
     * InDel-ratio the results.
@@ -99,8 +127,11 @@ object FuzzKernels {
 }
 
 case class IndelRatio(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression with CodegenFallback with ExpectsInputTypes {
   override def dataType: DataType = DoubleType
+  // analysis-time type check (wrong-typed input must fail at analysis,
+  // not as an executor-side ClassCastException mid-job)
+  override def inputTypes: Seq[DataType] = Seq(StringType, StringType)
   override def nullIntolerant: Boolean = true
   override def nullSafeEval(a: Any, b: Any): Any =
     FuzzKernels.indelSimilarity(a.asInstanceOf[UTF8String].toString, b.asInstanceOf[UTF8String].toString)
@@ -110,8 +141,11 @@ case class IndelRatio(left: Expression, right: Expression)
 }
 
 case class TokenSortRatio(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression with CodegenFallback with ExpectsInputTypes {
   override def dataType: DataType = DoubleType
+  // analysis-time type check (wrong-typed input must fail at analysis,
+  // not as an executor-side ClassCastException mid-job)
+  override def inputTypes: Seq[DataType] = Seq(StringType, StringType)
   override def nullIntolerant: Boolean = true
   override def nullSafeEval(a: Any, b: Any): Any =
     FuzzKernels.tokenSortRatio(a.asInstanceOf[UTF8String].toString, b.asInstanceOf[UTF8String].toString)
@@ -121,8 +155,11 @@ case class TokenSortRatio(left: Expression, right: Expression)
 }
 
 case class TokenSetRatio(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression with CodegenFallback with ExpectsInputTypes {
   override def dataType: DataType = DoubleType
+  // analysis-time type check (wrong-typed input must fail at analysis,
+  // not as an executor-side ClassCastException mid-job)
+  override def inputTypes: Seq[DataType] = Seq(StringType, StringType)
   override def nullIntolerant: Boolean = true
   override def nullSafeEval(a: Any, b: Any): Any =
     FuzzKernels.tokenSetRatio(a.asInstanceOf[UTF8String].toString, b.asInstanceOf[UTF8String].toString)

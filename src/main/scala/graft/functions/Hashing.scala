@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, GenericInternalRow, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.catalyst.expressions.XXH64
@@ -100,7 +100,10 @@ object Hashing {
   * a struct of NULL fields (not a NULL struct) so generators keep the row.
   */
 case class DocSignature(child: Expression, n: Int, k: Int, lshSeed: Long, simSeed: Long)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with CodegenFallback with ExpectsInputTypes {
+  // analysis-time type check (wrong-typed input must fail at analysis,
+  // not as an executor-side ClassCastException mid-job)
+  override def inputTypes: Seq[DataType] = Seq(StringType)
   require(n >= 1 && k >= 1)
 
   @transient private lazy val (as, bs) = Hashing.permutations(k, lshSeed)
@@ -190,7 +193,10 @@ case class DocSignature(child: Expression, n: Int, k: Int, lshSeed: Long, simSee
   * long-exact-overlap candidate key (SURVEY.md §2.3 B10).
   */
 case class CdcFingerprints(child: Expression, windowChars: Int, samplingMod: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with CodegenFallback with ExpectsInputTypes {
+  // analysis-time type check (wrong-typed input must fail at analysis,
+  // not as an executor-side ClassCastException mid-job)
+  override def inputTypes: Seq[DataType] = Seq(StringType)
   require(windowChars >= 8 && samplingMod >= 1)
 
   private val KrBase = 1000003L
@@ -205,21 +211,22 @@ case class CdcFingerprints(child: Expression, windowChars: Int, samplingMod: Int
     var pow = 1L
     var p = 0
     while (p < w - 1) { pow *= KrBase; p += 1 }
-    val out = new java.util.HashSet[java.lang.Long]()
+    // first-seen order + seen-set, like ShingleHashes — a bare HashSet's
+    // iteration order is a JDK implementation detail, and the output array
+    // order must be byte-deterministic across JVMs for golden tests and
+    // checkpointed state
+    val seen = new java.util.HashSet[java.lang.Long]()
+    val out = new scala.collection.mutable.ArrayBuffer[Long]()
     var h = 0L
     var i = 0
     while (i < w) { h = h * KrBase + text.charAt(i); i += 1 }
-    if (java.lang.Long.remainderUnsigned(h, samplingMod) == 0L) out.add(h)
+    if (java.lang.Long.remainderUnsigned(h, samplingMod) == 0L && seen.add(h)) out += h
     while (i < text.length) {
       h = (h - text.charAt(i - w) * pow) * KrBase + text.charAt(i)
-      if (java.lang.Long.remainderUnsigned(h, samplingMod) == 0L) out.add(h)
+      if (java.lang.Long.remainderUnsigned(h, samplingMod) == 0L && seen.add(h)) out += h
       i += 1
     }
-    val arr = new Array[Long](out.size())
-    val it = out.iterator()
-    var j = 0
-    while (it.hasNext) { arr(j) = it.next(); j += 1 }
-    new GenericArrayData(arr)
+    new GenericArrayData(out.toArray)
   }
 
   override protected def withNewChildInternal(newChild: Expression): CdcFingerprints =
@@ -232,7 +239,10 @@ case class CdcFingerprints(child: Expression, windowChars: Int, samplingMod: Int
   * strings are materialized.
   */
 case class ShingleHashes(child: Expression, n: Int, seed: Long)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with CodegenFallback with ExpectsInputTypes {
+  // analysis-time type check (wrong-typed input must fail at analysis,
+  // not as an executor-side ClassCastException mid-job)
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType))
   require(n >= 1, s"shingle size must be >= 1, got $n")
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -274,7 +284,10 @@ case class ShingleHashes(child: Expression, n: Int, seed: Long)
   * empty documents never produce candidate pairs.
   */
 case class MinHashSig(child: Expression, k: Int, seed: Long)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with CodegenFallback with ExpectsInputTypes {
+  // analysis-time type check (wrong-typed input must fail at analysis,
+  // not as an executor-side ClassCastException mid-job)
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(LongType))
   require(k >= 1)
 
   @transient private lazy val (as, bs) = Hashing.permutations(k, seed)
@@ -311,7 +324,10 @@ case class MinHashSig(child: Expression, k: Int, seed: Long)
   * (each occurrence votes). Empty input → NULL.
   */
 case class SimHash64(child: Expression, seed: Long)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with CodegenFallback with ExpectsInputTypes {
+  // analysis-time type check (wrong-typed input must fail at analysis,
+  // not as an executor-side ClassCastException mid-job)
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType))
 
   override def dataType: DataType = LongType
   // returns NULL for empty token arrays even when the input is non-null
@@ -350,7 +366,10 @@ case class SimHash64(child: Expression, seed: Long)
   * band index so keys from different bands never collide into one join bucket.
   */
 case class BandKeys(child: Expression, bands: Int, rowsPerBand: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with CodegenFallback with ExpectsInputTypes {
+  // analysis-time type check (wrong-typed input must fail at analysis,
+  // not as an executor-side ClassCastException mid-job)
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(LongType))
   require(bands >= 1 && rowsPerBand >= 1)
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -384,7 +403,10 @@ case class BandKeys(child: Expression, bands: Int, rowsPerBand: Int)
   * `numBlocks` contiguous blocks; key = block value tagged with block index.
   */
 case class SimHashBlocks(child: Expression, numBlocks: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with CodegenFallback with ExpectsInputTypes {
+  // analysis-time type check (wrong-typed input must fail at analysis,
+  // not as an executor-side ClassCastException mid-job)
+  override def inputTypes: Seq[DataType] = Seq(LongType)
   require(numBlocks >= 1 && numBlocks <= 64)
 
   private val width = 64 / numBlocks
@@ -402,8 +424,12 @@ case class SimHashBlocks(child: Expression, numBlocks: Int)
       val hi = if (j == numBlocks - 1) 64 else lo + width
       val mask = if (hi - lo == 64) -1L else (1L << (hi - lo)) - 1L
       val block = (sim >>> lo) & mask
-      // tag with block index in the top bits (block values use < 62 bits
-      // for numBlocks >= 2, so the tag never collides)
+      // the block index rides into the key via the hash SEED (hashLong's
+      // j), which is what actually separates same-valued blocks at
+      // different positions; the XOR tag only stirs the top bits further —
+      // cross-block collisions remain possible (the hash occupies all 64
+      // bits) and are harmless: a collision adds a spurious candidate
+      // pair, never loses one (verification filters by true Hamming)
       out(j) = (j.toLong << 56) ^ XXH64.hashLong(block, j.toLong)
       j += 1
     }

@@ -1,8 +1,8 @@
 package graft.functions
 
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.sql.types.{BinaryType, DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Fused html→text extraction for the deterministic page wrapper
@@ -14,9 +14,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * stage. Differential-tested against the declarative chain.
   */
 case class HtmlArticleText(child: Expression)
-    extends UnaryExpression {
+    extends UnaryExpression with ExpectsInputTypes {
 
   override def dataType: DataType = StringType
+  // analysis-time type check: without it a STRING child type-checks and
+  // then dies mid-job with an executor-side ClassCastException
+  override def inputTypes: Seq[DataType] = Seq(BinaryType)
   override def nullIntolerant: Boolean = true
 
   override def nullSafeEval(input: Any): Any =
@@ -32,7 +35,14 @@ case class HtmlArticleText(child: Expression)
 
 object HtmlArticleText {
 
-  /** Static entry point shared by interpreted and generated code. */
+  /** Static entry point shared by interpreted and generated code.
+    * Invalid UTF-8 decodes to U+FFFD replacement characters (Java/Python
+    * `str` semantics — what the reference sees after its own decode step),
+    * whereas the declarative spec chain's binary→string CAST passes raw
+    * bytes through unvalidated: the differential-parity contract with that
+    * chain therefore covers valid-UTF-8 inputs; on malformed bytes THIS
+    * kernel's replacement behavior is the defined semantics.
+    */
   def extractU8(bytes: Array[Byte]): UTF8String =
     UTF8String.fromString(extract(new String(bytes, java.nio.charset.StandardCharsets.UTF_8)))
 

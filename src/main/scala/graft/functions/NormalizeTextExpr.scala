@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.types.{DataType, StringType}
@@ -25,9 +25,12 @@ import org.apache.spark.unsafe.types.UTF8String
   *    strip, longest key first — that path splits the walk in two.
   */
 case class NormalizeTextExpr(child: Expression, synonyms: Seq[(String, String)])
-    extends UnaryExpression {
+    extends UnaryExpression with ExpectsInputTypes {
 
   override def dataType: DataType = StringType
+  // analysis-time type check (wrong-typed input must fail at analysis,
+  // not as an executor-side ClassCastException mid-job)
+  override def inputTypes: Seq[DataType] = Seq(StringType)
   override def nullable: Boolean = false
 
   override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {

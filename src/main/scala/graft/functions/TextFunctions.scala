@@ -46,6 +46,15 @@ object TextFunctions {
   def collapseWhitespace(c: Column): Column =
     trim(regexp_replace(c, WhitespaceClass + "+", " "))
 
+  /** Unicode-whitespace tokens with empty tokens filtered; null/blank text
+    * → empty array. The ONE tokenizer shared by token counting, n-gram
+    * hygiene and decontamination — Spark's `trim` strips only ASCII spaces
+    * and `split` keeps boundary empty tokens, so per-operator copies of
+    * this expression kept re-growing the phantom-empty-token bug.
+    */
+  def whitespaceTokens(c: Column): Column =
+    filter(split(coalesce(c, lit("")), WhitespaceClass + "+"), t => length(t) > 0)
+
   /** Longest-first literal synonym substitution (synonyms.py:48-67).
     * The map is ordered longest-key-first at load (synonyms.py:45);
     * we sort here so callers can pass any Map.
@@ -102,7 +111,10 @@ object TextFunctions {
         colonPrefixes.map(p => java.util.regex.Pattern.quote(p + ": ")) ++
         genericPrefixes.flatMap(p => dashSeps.map(s => java.util.regex.Pattern.quote(p + s)))
     if (alts.isEmpty) c
-    else trim(regexp_replace(c, "(?is)^(?:" + alts.mkString("|") + ")", ""))
+    // (?u): Python's re.IGNORECASE folds Unicode — without UNICODE_CASE,
+    // Java folds ASCII only and "MÜNCHEN - x" would keep a prefix the
+    // reference strips (prefix_stripper.py is case-insensitive on str)
+    else trim(regexp_replace(c, "(?ius)^(?:" + alts.mkString("|") + ")", ""))
   }
 
   /** `normalize_title` = strip prefixes on the ORIGINAL title, then

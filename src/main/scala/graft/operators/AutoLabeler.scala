@@ -66,26 +66,29 @@ object AutoLabeler {
       col("city_a") === col("city_b")
     val diffCity = nonEmpty(col("city_a")) && nonEmpty(col("city_b")) &&
       col("city_a") =!= col("city_b")
+    // ONE when-cascade producing struct(label, confidence, reason): the
+    // rule and its confidence/reason must come from the same branch — three
+    // parallel cascades would let a threshold tweak in one silently
+    // desynchronize the other two
+    def verdict(l: String, c: String, r: String) =
+      struct(lit(l).as("label"),
+        (if (c == null) lit(null).cast("string") else lit(c)).as("confidence"),
+        (if (r == null) lit(null).cast("string") else lit(r)).as("reason"))
     pairs
       .withColumn("desc_sim", descSim)
-      .withColumn("label",
-        when(col("title_sim") >= 0.90 && sameCity, "same")
-          .when(col("title_sim") >= 0.70 && sameCity && col("desc_sim") >= 0.80, "same")
-          .when(col("title_sim") < 0.40, "different")
-          .when(diffCity && col("title_sim") < 0.70, "different")
-          .otherwise("skip"))
-      .withColumn("confidence",
-        when(col("title_sim") >= 0.90 && sameCity, "high")
-          .when(col("title_sim") >= 0.70 && sameCity && col("desc_sim") >= 0.80, "medium")
-          .when(col("title_sim") < 0.40, "high")
-          .when(diffCity && col("title_sim") < 0.70, "high")
-          .otherwise(lit(null).cast("string")))
-      .withColumn("reason",
-        when(col("title_sim") >= 0.90 && sameCity, "title_sim>=0.90 + same_city")
+      .withColumn("__v",
+        when(col("title_sim") >= 0.90 && sameCity,
+          verdict("same", "high", "title_sim>=0.90 + same_city"))
           .when(col("title_sim") >= 0.70 && sameCity && col("desc_sim") >= 0.80,
-            "title_sim>=0.70 + same_city + desc_sim>=0.80")
-          .when(col("title_sim") < 0.40, "title_sim<0.40")
-          .when(diffCity && col("title_sim") < 0.70, "different_city + title_sim<0.70")
-          .otherwise(lit(null).cast("string")))
+            verdict("same", "medium", "title_sim>=0.70 + same_city + desc_sim>=0.80"))
+          .when(col("title_sim") < 0.40,
+            verdict("different", "high", "title_sim<0.40"))
+          .when(diffCity && col("title_sim") < 0.70,
+            verdict("different", "high", "different_city + title_sim<0.70"))
+          .otherwise(verdict("skip", null, null)))
+      .withColumn("label", col("__v.label"))
+      .withColumn("confidence", col("__v.confidence"))
+      .withColumn("reason", col("__v.reason"))
+      .drop("__v")
   }
 }

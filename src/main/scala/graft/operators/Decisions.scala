@@ -54,15 +54,25 @@ object Decisions {
     // so two extraction-failed docs would otherwise compare h_a === h_b and
     // false-match as exact_text. With a null hash the equality is NULL and
     // the pair falls through to the overlap check / no_match.
+    // ONE row per node: a dirty ingest with duplicate urls (same node id,
+    // differing text versions) would otherwise fan each ambiguous pair
+    // into one row per version — with potentially CONTRADICTORY decisions
+    // for one pair. min() is the deterministic representative (the same
+    // rule as canonicalEntries; min skips nulls, so a node with any real
+    // text version never reads as extraction-failed).
     val t = extractedByNode.select(col("node"),
       when(col("extracted_text").isNotNull, xxhash64(col("extracted_text"))).as("text_h"))
+      .groupBy("node").agg(min(col("text_h")).as("text_h"))
     // left joins: a pair whose node is missing from the text projection
     // must resolve (to no_match absent other evidence), never silently
     // vanish from the decision frame
     val resolved = amb
       .join(t.toDF("node_a", "h_a"), Seq("node_a"), "left")
       .join(t.toDF("node_b", "h_b"), Seq("node_b"), "left")
-      .join(overlaps.select(col("node_a"), col("node_b"), lit(true).as("has_overlap")),
+      // dropDuplicates: SuffixOverlap.verify multiplies rows per duplicate
+      // text version too — the flag is pair-level, so one row per pair
+      .join(overlaps.select(col("node_a"), col("node_b"), lit(true).as("has_overlap"))
+          .dropDuplicates("node_a", "node_b"),
         Seq("node_a", "node_b"), "left")
       .withColumn("decision",
         when(col("h_a") === col("h_b"), "match")

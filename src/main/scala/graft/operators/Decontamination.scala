@@ -37,7 +37,7 @@ object Decontamination {
     */
   def ngramHashes(text: Column, n: Int, seed: Long = 42L): Column =
     Hashing.shingleHashes(
-      filter(split(coalesce(text, lit("")), "\\s+"), t => length(t) > 0), n, seed)
+      graft.functions.TextFunctions.whitespaceTokens(text), n, seed)
 
   /** The benchmark's distinct gram-hash table: one row per distinct n-gram
     * across the whole benchmark corpus — `(gram_hash: long)`.

@@ -47,11 +47,23 @@ object Evaluation {
         .withColumnRenamed("__kb", kb)
     }
 
+  /** One truth row per canonical pair: duplicate truth rows (or the same
+    * pair recorded in both orientations) would double-count every confusion
+    * cell they touch, and a pair labeled BOTH same and different would
+    * count as tp and fp simultaneously. min(label) resolves conflicts
+    * deterministically ("different" < "same" — the conservative verdict);
+    * the predicted side already gets the same one-row-per-pair treatment.
+    */
+  private def canonTruth(truth: DataFrame, keys: Seq[String]): DataFrame =
+    canonPairs(truth, keys)
+      .groupBy(keys.map(col): _*)
+      .agg(min(col("label")).as("label"))
+
   def pairMetrics(predicted: DataFrame, truth: DataFrame,
       keys: Seq[String] = Seq("url_a", "url_b")): DataFrame = {
     val pred = canonPairs(predicted, keys).select(keys.map(col): _*).distinct()
       .withColumn("__pred", lit(true))
-    canonPairs(truth, keys).join(pred, keys, "left")
+    canonTruth(truth, keys).join(pred, keys, "left")
       .withColumn("__pred", coalesce(col("__pred"), lit(false)))
       .agg(
         count(when(col("label") === "same" && col("__pred"), 1)).as("tp"),
@@ -97,7 +109,7 @@ object Evaluation {
     val sc = canonPairs(scored.select((keys.map(col) :+ col("score")): _*), keys)
       .groupBy(keys.map(col): _*)
       .agg(max(col("score")).as("score"))
-    canonPairs(truth, keys).join(sc, keys, "left")
+    canonTruth(truth, keys).join(sc, keys, "left")
       .crossJoin(grid)
       .withColumn("__pred", col("score").isNotNull && col("score") >= col("threshold"))
       .groupBy("threshold")

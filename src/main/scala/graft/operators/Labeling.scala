@@ -28,7 +28,11 @@ object Labeling {
       autoThreshold: Double = 0.85): DataFrame =
     candidates
       .join(groundTruth.select("id_a", "id_b"), Seq("id_a", "id_b"), "left_anti")
-      .withColumn("suggested", col("title_sim") >= autoThreshold)
+      // coalesce: a null title_sim must read as NOT-suggested, not as a
+      // silent third state that `=== false` filters would drop entirely
+      // (the reference only pre-suggests on a real title_sim, :131-135)
+      .withColumn("suggested",
+        coalesce(col("title_sim") >= autoThreshold, lit(false)))
 
   /** Fold one labeling session's verdicts into the ground-truth table.
     * Only explicit same/different rows persist (skip/quit drop,
@@ -49,8 +53,26 @@ object Labeling {
       .where(col("label").isin("same", "different"))
       .join(groundTruth.select("id_a", "id_b"), Seq("id_a", "id_b"), "left_anti")
     val resolved =
-      if (accepted.columns.contains("seq")) firstRowBy(accepted, Seq(col("seq")))
-      else {
+      if (accepted.columns.contains("seq")) {
+        // prompt order resolves conflicts ONLY when it actually orders
+        // them: two conflicting verdicts sharing one seq value (or both
+        // null) would fall to partition-internal row order — nondeterminism
+        // the scaladoc forbids — so they fail fast like the no-seq branch
+        val tied = accepted.groupBy("id_a", "id_b", "seq")
+          .agg(countDistinct("label").as("n")).where(col("n") > 1)
+        if (!tied.isEmpty)
+          throw new IllegalArgumentException(
+            "labeling session holds conflicting verdicts sharing one seq " +
+              "value — prompt order cannot resolve them")
+        // nulls last: an explicit prompt order beats an unpopulated one;
+        // aux-column tie-break keeps label-agreeing same-seq dups stable
+        val aux = accepted.columns
+          .filterNot(Seq("id_a", "id_b", "seq").contains)
+          .filter(f => org.apache.spark.sql.catalyst.expressions.RowOrdering
+            .isOrderable(accepted.schema(f).dataType))
+          .map(col(_).asc)
+        firstRowBy(accepted, col("seq").asc_nulls_last +: aux.toSeq)
+      } else {
         val conflicts = accepted.groupBy("id_a", "id_b")
           .agg(countDistinct("label").as("n")).where(col("n") > 1)
         // session frames are human-sized; the eager check is cheap
@@ -81,7 +103,12 @@ object Labeling {
           firstRowBy(accepted, orderable.map(col).toSeq)
         else accepted.dropDuplicates("id_a", "id_b")
       }
-    groundTruth.unionByName(resolved, allowMissingColumns = true)
+    // session-only columns (the queue's pre-suggestion flag, the CLI's
+    // prompt order) must not grow the persistent ground-truth schema —
+    // each differently-shaped session would widen it further, null-filled
+    // for every pre-existing row
+    groundTruth.unionByName(resolved.drop("seq", "suggested"),
+      allowMissingColumns = true)
   }
 
   /** Deterministic per-pair survivor: the first row under `order` within

@@ -48,6 +48,14 @@ object Review {
   def mergeClusters(labels: DataFrame, edges: DataFrame, compA: Long, compB: Long): (DataFrame, DataFrame, DataFrame) = {
     val spark = labels.sparkSession
     import spark.implicits._
+    // both labels must exist: a stale/typo'd id would otherwise no-op the
+    // relabel yet still append a forced edge — a later global CC re-run
+    // would then materialize a phantom node into the surviving component,
+    // with an audit row recording a merge that never happened
+    val found = labels.where(col("component").isin(compA, compB))
+      .select("component").distinct().as[Long].collect().toSet
+    require(found == Set(compA, compB),
+      s"mergeClusters: missing component(s) ${Set(compA, compB) -- found}")
     val target = math.min(compA, compB)
     val newLabels = labels.withColumn("component",
       when(col("component") === compA || col("component") === compB, target)
@@ -56,11 +64,13 @@ object Review {
     // tiers are PRESERVED (a tier column is only added when absent):
     // stamping everything 'match' would erase earlier merges' forced edges
     // — the very records a later global re-run replays human decisions from.
+    // allowMissingColumns: the documented edge shape is (src, dst[, weight])
+    // — a weightless frame must merge, not throw on the forced row's weight
     val forced = Seq((compA, compB, 1.0, "forced")).toDF("src", "dst", "weight", "tier")
     val withTier =
       if (edges.columns.contains("tier")) edges
       else edges.withColumn("tier", lit("match"))
-    val newEdges = withTier.unionByName(forced)
+    val newEdges = withTier.unionByName(forced, allowMissingColumns = true)
     val audit = Seq(("merge", compA, compB, target)).toDF("action", "component_a", "component_b", "target")
     (newLabels, newEdges, audit)
   }
@@ -71,9 +81,14 @@ object Review {
   def reviewQueue(
       clusters: DataFrame, // (component, size, flagged, match_confidence)
       page: Int, pageSize: Int
-  ): DataFrame =
+  ): DataFrame = {
+    // fail at the API boundary, not as an "offset must be >= 0"
+    // AnalysisException deep inside plan analysis (pages are 1-based)
+    require(page >= 1 && pageSize >= 1,
+      s"reviewQueue: page must be >= 1 and pageSize >= 1, got page=$page pageSize=$pageSize")
     clusters.where(col("flagged") ||
         (col("match_confidence") < 0.8 && col("size") > 1))
       .orderBy(col("match_confidence").asc_nulls_first, col("component"))
       .offset((page - 1) * pageSize).limit(pageSize)
+  }
 }

@@ -22,15 +22,27 @@ object Scorers {
   // V1 date_score (matching/scorers/date_scorer.py:97-138)
   // =========================================================================
 
+  /** Ranges longer than this expand to empty (= invalid), like bad bounds:
+    * `sequence(sd, ed)` materializes one element per DAY per evaluation, so
+    * a single corrupt entry ("0001-01-01".."9999-12-31" passes the sd <= ed
+    * check) would build ~3.65M-string arrays inside every pair row it
+    * appears in — repeatedly, since date scoring re-expands per comparison.
+    * No real event outlasts a year-plus; the reference never validates
+    * spans because its corpus is curated, ours is crawled.
+    */
+  val MaxRangeSpanDays = 400
+
   /** Expand one dates entry {date | start_date..end_date} into ISO day
-    * strings (date_scorer.py:14-34). Invalid range bounds → empty;
-    * bare `date` strings pass through unvalidated (reference behavior).
+    * strings (date_scorer.py:14-34). Invalid range bounds (or spans beyond
+    * [[MaxRangeSpanDays]]) → empty; bare `date` strings pass through
+    * unvalidated (reference behavior).
     */
   def expandEntry(e: Column): Column = {
     val sd = try_to_date(e.getField("start_date"), "yyyy-MM-dd")
     val ed = try_to_date(e.getField("end_date"), "yyyy-MM-dd")
     when(e.getField("start_date").isNotNull && e.getField("end_date").isNotNull,
-      when(sd.isNotNull && ed.isNotNull && sd <= ed,
+      when(sd.isNotNull && ed.isNotNull && sd <= ed &&
+          datediff(ed, sd) <= MaxRangeSpanDays,
         transform(sequence(sd, ed), d => date_format(d, "yyyy-MM-dd")))
         .otherwise(array().cast("array<string>")))
       .when(e.getField("date").isNotNull, array(e.getField("date")))

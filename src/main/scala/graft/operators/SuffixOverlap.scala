@@ -62,7 +62,9 @@ object SuffixOverlap {
     * the shorter string. O(|a| + |b|) time/space per pair.
     */
   def longestCommonSubstring(a: String, b: String): Int = {
-    if (a.isEmpty || b.isEmpty) return 0
+    // null text (failed extraction) can reach a candidate pair through the
+    // node join — it shares no substring with anything, it must not NPE
+    if (a == null || b == null || a.isEmpty || b.isEmpty) return 0
     val (s, t) = if (a.length <= b.length) (a, b) else (b, a)
     val sam = new SuffixAutomaton(s)
     sam.longestMatch(t)

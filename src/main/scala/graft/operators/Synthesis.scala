@@ -129,6 +129,13 @@ object Synthesis {
           .getField("src").as("__win_url"),
         count(lit(1)).as("source_count"),
         min(col("warc_ts")).as("first_seen"),
+        // provenance for first_seen: the url of the member that SUPPLIED
+        // min(warc_ts) (ties → min url via struct order), not the
+        // canonical url — an audit tracing first_seen must land on the
+        // member that was actually crawled first
+        min(when(col("warc_ts").isNotNull,
+          struct(col("warc_ts").as("ts"), col("url").as("src"))))
+          .getField("src").as("__first_url"),
         max(col("warc_ts")).as("last_seen"),
         // coherence check (c) input, computed here for free — the labeled
         // frame already carries warc_ts. Exact: a hard threshold reads this
@@ -176,7 +183,7 @@ object Synthesis {
         col("langs"),
         map(
           lit("text"), col("__win_url"),
-          lit("first_seen"), col("canonical_url"),
+          lit("first_seen"), col("__first_url"),
           lit("langs"), lit("union_all_sources")
         ).as("field_provenance")
       )
@@ -213,10 +220,16 @@ object Synthesis {
   def clusterQuality(labels: DataFrame, decisions: DataFrame, cfg: GraftConfig,
       nodeDays: Option[DataFrame] = None): DataFrame = {
     val lbl = labels.select(col("node"), col("component"))
+    // match rows ONLY: overlap_match never creates a cluster edge
+    // (matchEdges filters decision === 'match' — syndication is not
+    // duplication), so counting it here would flag node_a's cluster as
+    // tier2-assisted for an edge that is NOT inside it — and asymmetrically
+    // never flag node_b's. For match rows node_a and node_b share a
+    // component by construction, so the single-sided join is exact.
     val rows = decisions
-      .where(col("decision").isin("match", "overlap_match"))
+      .where(col("decision") === "match")
       .select(col("node_a").as("src"),
-        when(col("decision") === "match", col("exact_jaccard")).as("match_weight"),
+        col("exact_jaccard").as("match_weight"),
         (col("tier") =!= "jaccard").as("is_tier2"))
       .join(lbl.toDF("src", "component"), "src")
       .groupBy("component")
@@ -262,7 +275,9 @@ object Synthesis {
     */
   def tierFlags(labels: DataFrame, decisions: DataFrame): DataFrame = {
     val lbl = labels.select(col("node"), col("component"))
-    decisions.where(col("decision").isin("match", "overlap_match"))
+    // match rows only — see clusterQuality: overlap_match edges are never
+    // inside a cluster, so they must not set its tier flag
+    decisions.where(col("decision") === "match")
       .select(col("node_a").as("src"), col("tier"))
       .join(lbl.toDF("src", "component"), "src")
       .groupBy("component")
@@ -309,14 +324,17 @@ object Synthesis {
       selectLongestNonGeneric(col("title"), col("id"), 10).as("title_sel"),
       longest("short_description").as("sd_sel"),
       longest("description").as("desc_sel"),
-      selectUnionLists(col("highlights")).as("highlights"),
+      // filter null ELEMENTS inside source arrays (permissive ingest):
+      // array_distinct keeps one null and it would survive into the
+      // canonical list — same hazard canonicals filters for langs
+      selectUnionLists(filter(col("highlights"), _.isNotNull)).as("highlights"),
       longest("location_name").as("loc_name_sel"),
       longest("location_district").as("loc_district_sel"),
       longest("location_street").as("loc_street_sel"),
       longest("location_zipcode").as("loc_zip_sel"),
       min(geoCand).as("geo_sel"),
-      sort_array(array_distinct(flatten(collect_list(col("dates"))))).as("dates"),
-      selectUnionLists(col("categories")).as("categories"),
+      selectUnionLists(filter(col("dates"), _.isNotNull)).as("dates"),
+      selectUnionLists(filter(col("categories"), _.isNotNull)).as("categories"),
       anyTrue(col("is_family_event"), col("id")).as("family_sel"),
       anyTrue(col("is_child_focused"), col("id")).as("child_sel"),
       anyTrue(col("admission_free"), col("id")).as("free_sel"),
@@ -384,10 +402,23 @@ object Synthesis {
     // field whose fresh value was discarded
     val hasProv = existing.columns.contains("field_provenance") &&
       fresh.columns.contains("field_provenance")
-    val ex = existing.select((Seq(col(key)) ++
+    val exRaw = existing.select((Seq(col(key)) ++
       textFields.map(f => col(f).as(s"${f}__old")) ++
       (if (hasProv) Seq(col("field_provenance").as("__prov_old")) else Nil) :+
       col("version")): _*)
+    // ONE row per key on the existing side: a table holding duplicate keys
+    // (two enrichment batches APPENDED instead of overwritten) would
+    // otherwise multiply every merged row per duplicate — forever, since
+    // each pass re-persists the multiplied output. Keep the highest
+    // version (the latest pass); ties break on the field values for
+    // determinism (provenance maps are not orderable, so they stay out of
+    // the tie-break).
+    val tieBreak = if (textFields.nonEmpty)
+      Seq(struct(textFields.map(f => col(s"${f}__old")): _*).desc) else Nil
+    val exW = org.apache.spark.sql.expressions.Window.partitionBy(col(key))
+      .orderBy(col("version").desc_nulls_last +: tieBreak: _*)
+    val ex = exRaw.withColumn("__rn", row_number().over(exW))
+      .where(col("__rn") === 1).drop("__rn")
     val joined = fresh.join(ex, Seq(key), "left")
     val withKept = textFields.foldLeft(joined) { (df, f) =>
       val keep = col(s"${f}__old").isNotNull &&

@@ -15,17 +15,28 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
-  /** Whitespace token count; empty/blank → 0. */
+  // The Unicode-complete whitespace class (TextFunctions.WhitespaceClass)
+  // and its inner character set, for embedding in negated classes. Java's
+  // bare \s is ASCII-only: trim strips only 0x20 and split keeps boundary
+  // empty tokens, so "\n"-terminated text would count a phantom token and
+  // NBSP-separated words would fuse — the same defect fixed in
+  // Decontamination.ngramHashes, applied here to every tokenizer.
+  private val Ws = graft.functions.TextFunctions.WhitespaceClass
+  private val WsInner = Ws.stripPrefix("[").stripSuffix("]")
+
+  /** Whitespace token count; empty/blank/null → 0 (empty tokens from
+    * boundary whitespace are filtered, never counted).
+    */
   def tokenCount(text: Column): Column =
-    when(text.isNull || length(trim(text)) === 0, 0)
-      .otherwise(size(split(trim(text), "\\s+"))) // null-guard: size(null) is -1
+    size(graft.functions.TextFunctions.whitespaceTokens(text))
 
   /** BPE-ish subword token estimate: word chunks + standalone
-    * punctuation/symbols, the usual pre-tokenizer regex shape.
+    * punctuation/symbols, the usual pre-tokenizer regex shape (Unicode
+    * spaces count as whitespace, not as symbol tokens).
     */
   def tokenEstimate(text: Column): Column =
-    when(text.isNull || length(trim(text)) === 0, lit(0L))
-      .otherwise(regexp_count(text, lit("\\w+|[^\\w\\s]")))
+    when(text.isNull, lit(0L))
+      .otherwise(regexp_count(text, lit("\\w+|[^\\w" + WsInner + "]")))
 
   /** Punctuation character count (sentence-final + clause punctuation). */
   def punctCount(text: Column): Column =
@@ -41,7 +52,7 @@ object TextAnalysis {
     * and a length-difference count is exact.
     */
   private def wordOccurrences(text: Column, word: String): Column = {
-    val padded = concat(lit(" "), regexp_replace(lower(text), "\\s+", "  "), lit(" "))
+    val padded = concat(lit(" "), regexp_replace(lower(text), Ws + "+", "  "), lit(" "))
     val needle = s" $word "
     (length(padded) - length(replace(padded, lit(needle), lit("")))) / needle.length
   }

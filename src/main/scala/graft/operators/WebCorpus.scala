@@ -24,11 +24,18 @@ import org.apache.spark.sql.functions._
   */
 object WebCorpus {
 
+  // Unicode-complete blank-line test: Spark's trim strips only ASCII
+  // spaces, so a "\t"- or NBSP-only line would otherwise read as content
+  private def isBlankLine(line: Column): Column =
+    length(graft.functions.TextFunctions.collapseWhitespace(line)) === 0
+
   /** Exploded (id, pos, line) frame: one row per line per document.
-    * Lines are '\n'-separated; order is preserved through `pos`.
+    * Lines are '\n'- or CRLF-separated ("\r?\n" — a CRLF corpus would
+    * otherwise leave a trailing '\r' on every line and turn every blank
+    * line into a one-char "\r" content line); order is preserved via `pos`.
     */
   def lineFrame(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs.select(col(idCol).as("doc_ref"), posexplode(split(col(textCol), "\n")))
+    docs.select(col(idCol).as("doc_ref"), posexplode(split(col(textCol), "\r?\n")))
       .toDF("doc_ref", "pos", "line")
 
   /** Document frequency per distinct line: how many distinct documents
@@ -63,7 +70,7 @@ object WebCorpus {
       // blank/whitespace-only lines are STRUCTURE (paragraph breaks), not
       // boilerplate — the empty line trivially appears in ≥ minDocs docs in
       // any real corpus, and filtering it would collapse every paragraph
-      .where(col("doc_freq") < minDocs || length(trim(col("line"))) === 0)
+      .where(col("doc_freq") < minDocs || isBlankLine(col("line")))
     val reassembled = kept
       .groupBy(col("doc_ref"))
       .agg(
@@ -74,7 +81,7 @@ object WebCorpus {
         // boilerplate must still report n_kept_lines = 0 so the downstream
         // quality gate can drop the empty husk (its clean_text is then
         // whitespace-only)
-        count(when(length(trim(col("line"))) > 0, 1)).as("n_kept_lines"))
+        count(when(!isBlankLine(col("line")), 1)).as("n_kept_lines"))
     val ids = docs.select(col(idCol).as("id_base"))
     // null-safe join: a null-id document must reunite with its own lines
     // instead of silently losing its whole text to the coalesce("") below.
@@ -86,10 +93,14 @@ object WebCorpus {
         coalesce(col("n_kept_lines"), lit(0L)).as("n_kept_lines"))
   }
 
-  /** Whitespace tokens; blank OR NULL text → empty array (not [""]/null). */
+  /** Whitespace tokens; blank OR NULL text → empty array (not [""]/null).
+    * Empty tokens from boundary whitespace are filtered AFTER the split
+    * (trim is space-only, so "a b\n" would otherwise yield a phantom ""
+    * token — the Decontamination.ngramHashes fix, applied here), and the
+    * class is Unicode-complete so NBSP-separated words split.
+    */
   private def toks(text: Column): Column =
-    when(text.isNull || length(trim(text)) === 0, array().cast("array<string>"))
-      .otherwise(split(trim(text), "\\s+"))
+    graft.functions.TextFunctions.whitespaceTokens(text)
 
   /** Adjacent token bigrams as "a b" strings (empty for < 2 tokens). */
   def bigrams(text: Column): Column = ngrams(text, 2)

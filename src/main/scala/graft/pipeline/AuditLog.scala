@@ -40,13 +40,22 @@ final class AuditLog(spark: SparkSession, path: String) {
       history().where(col("run_id") === runId)
         .agg(coalesce(max(col("seq")) + 1L, lit(0L))).collect()(0).getLong(0))
     val detailCols = audit.columns.filterNot(_ == "action")
-    val row = audit.select(
-      lit(runId).as("run_id"),
-      lit(seq).as("seq"),
-      col("action"),
-      to_json(struct(detailCols.map(col): _*)).as("details"))
-    row.write.mode("append").parquet(path)
-    seqs(runId) = seq + 1
+    // seq is stamped PER ROW (and advanced by the row count): nothing
+    // enforces a one-row frame, and stamping a batched multi-action frame
+    // with one lit(seq) would mint duplicate (run_id, seq) pairs — exactly
+    // the unrecoverable within-run order the class doc forbids. Row order
+    // inside one batched frame is ordered by (action, details) — an
+    // unordered DataFrame carries no intent to recover, so the stable
+    // choice is what matters (a global window; audit frames are tiny).
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("action"), col("details"))
+    val rows = audit.select(col("action"),
+        to_json(struct(detailCols.map(col): _*)).as("details"))
+      .withColumn("seq", lit(seq) + row_number().over(w).cast("long") - 1L)
+      .select(lit(runId).as("run_id"), col("seq"), col("action"), col("details"))
+    val n = rows.count()
+    rows.write.mode("append").parquet(path)
+    seqs(runId) = seq + n
   }
 
   /** The full audit history (empty frame with the right schema if nothing

@@ -108,10 +108,15 @@ object EventIngest {
         coalesce(col("e.location._sanitizeResult.city"), col("e.location.city")).as("location_city"),
         coalesce(col("e.location._sanitizeResult.district"), col("e.location.district")).as("location_district"),
         col("e.location.street").as("location_street"),
+        // street_no and geo.country are declared ingest fields
+        // (file_processor.py:86,100) — dropping them here made the
+        // ingest→export round trip lossy
+        col("e.location.street_no").as("location_street_no"),
         col("e.location.zipcode").as("location_zipcode"),
         col("e.location.geo.latitude").as("geo_latitude"),
         col("e.location.geo.longitude").as("geo_longitude"),
         col("e.location.geo.confidence").as("geo_confidence"),
+        col("e.location.geo.country").as("geo_country"),
         col("e.source_type").as("source_type"),
         col("e.categories").as("categories"),
         coalesce(col("e.is_family_event"), lit(false)).as("is_family_event"),
@@ -133,7 +138,11 @@ object EventIngest {
     * falls back to a shuffled anti-join once it isn't.
     */
   def skipIngested(files: DataFrame, ledger: DataFrame): DataFrame =
-    files.join(ledger.select("file_hash").distinct(), Seq("file_hash"), "left_anti")
+    // no .distinct() on the ledger: anti-join semantics are existence-based
+    // (duplicate build-side keys cannot change the result), and the ledger
+    // grows without bound — a full dedup aggregation over it per ingest run
+    // would be pure wasted shuffle
+    files.join(ledger.select("file_hash"), Seq("file_hash"), "left_anti")
 
   /** File hash column for a frame carrying the raw file bytes/text. */
   def fileHash(content: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
@@ -183,6 +192,10 @@ object EventIngest {
         col("dates").as("event_dates"),
         struct(
           col("location_name").as("name"), col("location_city").as("city"),
+          // district is part of the reference's input format
+          // (export/service.py:44-45) — omitting it made export→re-ingest
+          // lossy for any canonical carrying one
+          col("location_district").as("district"),
           col("location_street").as("street"), col("location_zipcode").as("zipcode"),
           struct(col("geo_latitude").as("latitude"), col("geo_longitude").as("longitude"),
             col("geo_confidence").as("confidence")).as("geo")).as("location"),

@@ -51,7 +51,8 @@ class HashingSpec extends SparkSpec {
 
   test("empty token array produces NULL signature (never matches)") {
     val r = Seq("").toDF("t")
-      .select(Hashing.minHash(Hashing.shingleHashes(array(), 3), 16).as("s"))
+      .select(Hashing.minHash(
+        Hashing.shingleHashes(array().cast("array<string>"), 3), 16).as("s"))
       .select($"s".isNull).as[Boolean].collect()(0)
     assert(r)
   }

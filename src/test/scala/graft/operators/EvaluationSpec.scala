@@ -26,6 +26,26 @@ class EvaluationSpec extends SparkSpec {
     assert(math.abs(m.getAs[Double]("f1") - 2.0 / 3.0) < 1e-12)
   }
 
+  test("duplicate and both-orientation truth rows count each pair once; conflicts resolve conservatively") {
+    // (a,b) recorded in both orientations, (c,d) duplicated, (e,f) labeled
+    // BOTH ways — without truth canonicalization tp would read 2, the dup
+    // would double-count, and (e,f) would be tp AND fp simultaneously
+    val messy = Seq(
+      ("a", "b", "same"), ("b", "a", "same"),
+      ("c", "d", "same"), ("c", "d", "same"),
+      ("e", "f", "same"), ("f", "e", "different")
+    ).toDF("url_a", "url_b", "label")
+    val pred = Seq(("a", "b"), ("c", "d"), ("e", "f")).toDF("url_a", "url_b")
+    val m = Evaluation.pairMetrics(pred, messy).collect()(0)
+    // (e,f) resolves to min(label) = "different" → fp, not tp
+    assert(m.getAs[Long]("tp") == 2 && m.getAs[Long]("fp") == 1)
+    assert(m.getAs[Long]("fn") == 0 && m.getAs[Long]("tn") == 0)
+    val sw = Evaluation.thresholdSweep(
+      Seq(("a", "b", 0.9), ("c", "d", 0.9), ("e", "f", 0.9)).toDF("url_a", "url_b", "score"),
+      messy, thresholds = Seq(0.5)).collect()(0)
+    assert(sw.getAs[Long]("tp") == 2 && sw.getAs[Long]("fp") == 1 && sw.getAs[Long]("fn") == 0)
+  }
+
   test("pairMetrics: unlabeled predictions ignored, unpredicted sames are FN") {
     val pred = Seq(("a", "b"), ("x", "y")).toDF("url_a", "url_b") // x-y unlabeled
     val m = Evaluation.pairMetrics(pred, truth).collect()(0)
@@ -77,12 +97,13 @@ class EvaluationSpec extends SparkSpec {
     val scored = Seq(("a", "b", 0.9)).toDF("url_a", "url_b", "score")
     val plan = Evaluation.thresholdSweep(scored, truth)
       .queryExecution.optimizedPlan.toString
-    // exactly two Aggregate nodes: the per-pair max-score dedup (one row per
-    // key pair, matching pairMetrics' distinct semantics) and the grouped
-    // conditional counts; the 8-threshold grid shows up as a join/expand
-    // input, never as 8 plans
+    // exactly three Aggregate nodes: truth canonicalization (one row per
+    // labeled pair — duplicate/conflicting truth must not double-count),
+    // the per-pair max-score dedup (matching pairMetrics' distinct
+    // semantics) and the grouped conditional counts; the 8-threshold grid
+    // shows up as a join/expand input, never as 8 plans
     val aggs = "(?m)^\\s*[+:\\-\\s]*Aggregate ".r.findAllIn(plan).size
-    assert(aggs == 2, s"expected 2 Aggregates (pair-dedup + confusion), got $aggs:\n$plan")
+    assert(aggs == 3, s"expected 3 Aggregates (truth-dedup + pair-dedup + confusion), got $aggs:\n$plan")
   }
 
   test("pairMetrics: null-keyed pairs never match (no degenerate least/greatest collapse)") {

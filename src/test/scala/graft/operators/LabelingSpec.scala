@@ -52,6 +52,31 @@ class LabelingSpec extends SparkSpec {
     assert(left.toSeq == Seq(("b", "c")))
   }
 
+  test("applyLabels with seq: tied conflicting seqs fail fast; session-only columns never persist") {
+    // two conflicting verdicts sharing seq 1 — prompt order cannot resolve
+    val tied = Seq(
+      ("x", "y", "same", 1L, true),
+      ("x", "y", "different", 1L, false)
+    ).toDF("id_a", "id_b", "label", "seq", "suggested")
+    val err = intercept[IllegalArgumentException] {
+      Labeling.applyLabels(truth, tied)
+    }
+    assert(err.getMessage.contains("seq"))
+    // orderable resolution drops the session-only seq/suggested columns
+    val ok = Seq(("x", "y", "same", 2L, true)).toDF("id_a", "id_b", "label", "seq", "suggested")
+    val out = Labeling.applyLabels(truth, ok)
+    assert(!out.columns.contains("seq") && !out.columns.contains("suggested"),
+      s"session-only columns leaked into ground truth: ${out.columns.toSeq}")
+    assert(out.count() == 2)
+  }
+
+  test("queue: a null title_sim reads as not-suggested, never a null flag") {
+    val cands = Seq(("p", "q", null.asInstanceOf[java.lang.Double]))
+      .toDF("id_a", "id_b", "title_sim")
+    val q = Labeling.queue(cands, truth).select("suggested").collect()
+    assert(q.length == 1 && q(0).getBoolean(0) == false)
+  }
+
   test("applyLabels without a seq column: exact duplicates collapse, conflicts fail fast") {
     val dupOnly = Seq(("a", "c", "same"), ("a", "c", "same"))
       .toDF("id_a", "id_b", "label")

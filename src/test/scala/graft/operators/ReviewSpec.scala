@@ -37,6 +37,24 @@ class ReviewSpec extends SparkSpec {
     assert(newEdges.where($"tier" === "forced").count() == 1)
   }
 
+  test("Q14 merge: a nonexistent component id fails fast instead of minting a phantom forced edge") {
+    val err = intercept[IllegalArgumentException] {
+      Review.mergeClusters(labels, edges, 999999L, 10L)
+    }
+    assert(err.getMessage.contains("999999"))
+  }
+
+  test("Q14 merge: a weightless (src, dst) edge frame merges instead of throwing") {
+    val bare = edges.select("src", "dst") // the documented optional-weight shape
+    val (_, newEdges, _) = Review.mergeClusters(labels, bare, 1L, 10L)
+    assert(newEdges.where($"tier" === "forced").count() == 1)
+  }
+
+  test("Q9 review queue: page below 1 fails at the API boundary") {
+    val clusters = Seq((1L, 2L, false, 0.5)).toDF("component", "size", "flagged", "match_confidence")
+    intercept[IllegalArgumentException] { Review.reviewQueue(clusters, page = 0, pageSize = 10) }
+  }
+
   test("Q14 merge: chained merges preserve earlier forced-edge tiers") {
     val (labels2, edges2, _) = Review.mergeClusters(labels, edges, 1L, 10L)
     // second merge must NOT restamp the first merge's forced edge to 'match'

@@ -78,10 +78,10 @@ class EventIngestSpec extends SparkSpec {
 
   test("S10: export projection emits nested input-format JSON") {
     val canonical = Seq(("c1", "Umzug", null: String, "lange Beschreibung",
-      Seq("h1"), Seq(("2026-02-12", "14:00")), "Halle", "Kenzingen", "Hauptstr", "79341",
+      Seq("h1"), Seq(("2026-02-12", "14:00")), "Halle", "Kenzingen", "Oberdorf", "Hauptstr", "79341",
       48.19, 7.81, 0.95, "terminliste", Seq("fasnacht"), true, false, false))
       .toDF("id", "title", "short_description", "description", "highlights", "raw_dates",
-        "location_name", "location_city", "location_street", "location_zipcode",
+        "location_name", "location_city", "location_district", "location_street", "location_zipcode",
         "geo_latitude", "geo_longitude", "geo_confidence", "source_type", "categories",
         "is_family_event", "is_child_focused", "admission_free")
       .withColumn("dates", transform(col("raw_dates"), d =>
@@ -89,6 +89,7 @@ class EventIngestSpec extends SparkSpec {
     val out = EventIngest.toInputFormat(canonical).as[(String, String)].collect()(0)
     assert(out._1 == "c1")
     assert(out._2.contains(""""event_dates":[{"date":"2026-02-12""""))
+    assert(out._2.contains(""""district":"Oberdorf""""))
     assert(out._2.contains(""""geo":{"latitude":48.19"""))
   }
 
