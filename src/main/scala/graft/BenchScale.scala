@@ -20,12 +20,16 @@ object BenchScale {
   private[graft] def parseLevel(level: String): Either[Int, (Int, Int)] =
     if (level.contains("x")) level.split("x", -1) match {
       case Array(w, c) if w.nonEmpty && c.nonEmpty &&
-          w.forall(_.isDigit) && c.forall(_.isDigit) => Right((w.toInt, c.toInt))
+          w.forall(_.isDigit) && c.forall(_.isDigit) && w.toInt >= 1 && c.toInt >= 1 =>
+        Right((w.toInt, c.toInt))
       case _ => throw new IllegalArgumentException(
-        s"bad level spec '$level' — want N (threads) or WxC (executor JVMs x cores)")
+        s"bad level spec '$level' — want N (threads) or WxC (executor JVMs x cores), all >= 1")
     } else {
-      require(level.nonEmpty && level.forall(_.isDigit),
-        s"bad level spec '$level' — want N (threads) or WxC (executor JVMs x cores)")
+      // >= 1: '0' is all-digits but local[0]/local-cluster[0,..] dies only
+      // AFTER the multi-minute datagen — the late failure this parse exists
+      // to prevent
+      require(level.nonEmpty && level.forall(_.isDigit) && level.toInt >= 1,
+        s"bad level spec '$level' — want N (threads) or WxC (executor JVMs x cores), all >= 1")
       Left(level.toInt)
     }
 
@@ -78,9 +82,12 @@ object BenchScale {
       val gen = session("32")
       try Bench.corpusPath(gen, n) finally gen.stop()
     }
-    // In-driver warm-up only for thread levels (executor levels warm their
-    // own fresh JVMs on the first rep — take min of reps ≥ 2 there).
-    if (levels.forall(!_.contains("x"))) {
+    // In-driver warm-up whenever ANY thread level is present (executor
+    // levels warm their own fresh JVMs on the first rep — take min of
+    // reps ≥ 2 there). Gating on ALL levels being thread specs would
+    // measure the thread levels of a mixed list cold — JIT/first-touch
+    // costs (4-10× on cold stages) attributed to whichever level ran first.
+    if (levels.exists(!_.contains("x"))) {
       val gen = session("32")
       val p0 = new DedupPipeline(gen, GraftConfig.default)
       p0.run(gen.read.parquet(path)).write.mode("overwrite").format("noop").save()

@@ -14,7 +14,9 @@ object EntrySmoke {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     Quiet.hintWarnings()
-    val df = SparkEntry.entry(spark)
+    // localCheckpoint: count() and the show() below must not each re-run
+    // the whole dedup pipeline
+    val df = SparkEntry.entry(spark).localCheckpoint(true)
     val rows = df.count()
     println(s"[entry-smoke] rows=$rows")
     df.orderBy("canonical_url").show(3, truncate = 60)

@@ -16,7 +16,11 @@ object ProfileCandidates {
     val n = if (args.length > 1) args(1).toLong else 100000L
     val spark = SparkSession.builder()
       .master(s"local[$cores]")
-      .config("spark.sql.shuffle.partitions", math.max(cores, 8).toString)
+      // 64, same as Bench/BenchScale/ProfilePipeline: the sub-step timings
+      // must decompose the SAME-partitioned plan the pipeline stage runs —
+      // a different partition count changes task granularity and AQE
+      // coalescing, profiling a different plan than the one being explained
+      .config("spark.sql.shuffle.partitions", "64")
       .config("spark.local.dir", sys.props.getOrElse("graft.localDir", "/dev/shm/graft-spark"))
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")

@@ -18,6 +18,17 @@ object ProfilePipeline {
   def main(args: Array[String]): Unit = {
     val level = if (args.length > 0) args(0) else "32"
     val n = if (args.length > 1) args(1).toLong else 100000L
+    // parse/validate EVERYTHING before the session build: a flag typo must
+    // fail now, not after a multi-minute local-cluster spawn
+    val rounds = if (args.length > 2) args(2).toInt else 2
+    // args(3): comma-separated flag set. Known flags: `ckpt` (checkpoint
+    // every stage to tmpfs instead of persist), `bc64` (raise the AQE
+    // broadcast threshold to 64 MB). Unknown flags fail fast — a typo like
+    // `checkpoint` must not silently profile the persist path.
+    val flags = if (args.length > 3) args(3).split(",").filter(_.nonEmpty).toSet
+                else Set.empty[String]
+    val unknown = flags -- Set("ckpt", "bc64")
+    require(unknown.isEmpty, s"unknown profile flags: ${unknown.mkString(",")}")
     val b = SparkSession.builder()
       .config("spark.sql.shuffle.partitions", "64")
       .config("spark.local.dir", sys.props.getOrElse("graft.localDir", "/dev/shm/graft-spark"))
@@ -43,15 +54,6 @@ object ProfilePipeline {
     val pages = spark.read.parquet(Bench.corpusPath(spark, n))
     val cfg = GraftConfig.default
 
-    val rounds = if (args.length > 2) args(2).toInt else 2
-    // args(3): comma-separated flag set. Known flags: `ckpt` (checkpoint
-    // every stage to tmpfs instead of persist), `bc64` (raise the AQE
-    // broadcast threshold to 64 MB). Unknown flags fail fast — a typo like
-    // `checkpoint` must not silently profile the persist path.
-    val flags = if (args.length > 3) args(3).split(",").filter(_.nonEmpty).toSet
-                else Set.empty[String]
-    val unknown = flags -- Set("ckpt", "bc64")
-    require(unknown.isEmpty, s"unknown profile flags: ${unknown.mkString(",")}")
     val ckptMode = flags("ckpt")
     // bc64: let AQE broadcast runtime-small join sides up to 64 MB (labels,
     // candidate pairs). Adaptive, not a hint — at 10^12 docs the same config
@@ -64,15 +66,16 @@ object ProfilePipeline {
       if (x.isDirectory) Option(x.listFiles()).toSeq.flatten.foreach(rm)
       x.delete(): Unit
     }
-    def ckptDir(r: Int) =
-      s"${sys.props.getOrElse("graft.localDir", "/dev/shm/graft-spark")}/profile_ckpt_$r"
+    val ckptBase = sys.props.getOrElse("graft.localDir", "/dev/shm/graft-spark")
+    def ckptDir(r: Int) = s"$ckptBase/profile_ckpt_$r"
+    // startup sweep of ALL profile_ckpt_* dirs, not just round indices this
+    // run reaches: a killed previous run with MORE rounds leaves its later
+    // dirs pinned on tmpfs alongside this run's executor heaps — exactly
+    // the memory margin the OOM-killer note below is about
+    if (ckptMode) Option(new java.io.File(ckptBase).listFiles()).toSeq.flatten
+      .filter(_.getName.startsWith("profile_ckpt_")).foreach(rm)
     for (r <- 1 to rounds) {
-      val workDir =
-        if (!ckptMode) None
-        else {
-          rm(new java.io.File(ckptDir(r))) // stale dir from a previous run
-          Some(ckptDir(r))
-        }
+      val workDir = if (!ckptMode) None else Some(ckptDir(r))
       val p = new DedupPipeline(spark, cfg, workDir)
       def time(name: String)(df: => DataFrame): DataFrame = {
         val t0 = System.nanoTime()

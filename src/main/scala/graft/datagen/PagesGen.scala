@@ -81,8 +81,19 @@ object PagesGen {
     s"https://${hostOf(seed, hostId)}/page/$id"
   }
 
-  private def baseWords(seed: Long, groupId: Long, nMin: Int, nMax: Int): Array[String] = {
-    val r = rng(seed, groupId, 2)
+  /** Word draws for one text body. `stream` keys the rng's b-channel —
+    * each textOf branch gets its OWN stream rather than an id offset into
+    * a shared one: id-offset keyspaces (`id + 1000000` on the groupId
+    * stream) collide once ids/groupIds reach the offset, silently planting
+    * word-identical prefixes between unrelated pages at multi-million-row
+    * scale — real ≥256-char overlaps the truth table knows nothing about,
+    * which would score as spurious false positives. Distinct b values
+    * cannot collide for ANY (a, a') pair: a·7919 + b·104729 = a'·7919 +
+    * b'·104729 requires (b−b')·104729 ≡ 0 (mod 7919), and 104729 is
+    * coprime to 7919 while |b−b'| < 7919.
+    */
+  private def baseWords(seed: Long, key: Long, stream: Long, nMin: Int, nMax: Int): Array[String] = {
+    val r = rng(seed, key, stream)
     val n = nMin + r.nextInt(nMax - nMin + 1)
     Array.fill(n)(vocab(r.nextInt(vocab.length)))
   }
@@ -147,21 +158,21 @@ object PagesGen {
     val dups = dupSlots(groupId)
 
     if (dups.contains(slot)) {
-      val base = baseWords(seed, groupId, 120, 220)
+      val base = baseWords(seed, groupId, 2, 120, 220)
       if (gtype == 8) plainJoin(base) // exact duplicates: identical text
       else if (slot == 0) plainJoin(base)
       else mutate(base, rng(seed, id, 3))
     } else if (gtype == 9 && (slot == 0 || slot == 1)) {
       // long-exact-overlap pair: shared ≥256-char run, distinct remainder
-      val shared = baseWords(seed, groupId, 60, 80) // ~60-80 words ≈ 500+ chars
-      val own = baseWords(seed, id + 1000000L, 100, 160)
+      val shared = baseWords(seed, groupId, 2, 60, 80) // ~60-80 words ≈ 500+ chars
+      val own = baseWords(seed, id, 12, 100, 160)
       val (head, tail) = own.splitAt(own.length / 2)
       plainJoin(head ++ shared ++ tail)
     } else if (gtype == 9 && (slot == 2 || slot == 3)) {
       // hard negative: same length band, same host (url handled separately)
-      plainJoin(baseWords(seed, id + 2000000L, 140, 160))
+      plainJoin(baseWords(seed, id, 13, 140, 160))
     } else {
-      plainJoin(baseWords(seed, id + 3000000L, 80, 250))
+      plainJoin(baseWords(seed, id, 14, 80, 250))
     }
   }
 

@@ -40,9 +40,13 @@ case class CollectMinK(
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
     extends TypedImperativeAggregate[java.util.PriorityQueue[UTF8String]]
-    with UnaryLike[Expression] {
+    with UnaryLike[Expression]
+    with org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes {
   require(k >= 1, "k must be >= 1")
 
+  // analysis-time type check (a timestamp child would otherwise pass
+  // analysis and ClassCastException mid-stage in update())
+  override def inputTypes: Seq[DataType] = Seq(StringType)
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def nullable: Boolean = false
 

@@ -19,8 +19,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * code calls the static helper below, keeping the expression inside
   * whole-stage codegen spans.
   */
-case class NfcNormalize(child: Expression) extends UnaryExpression {
+case class NfcNormalize(child: Expression) extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes {
   override def dataType: DataType = StringType
+  // analysis-time type check — see HtmlArticleText
+  override def inputTypes: Seq[DataType] = Seq(StringType)
   override def nullIntolerant: Boolean = true
 
   override def nullSafeEval(input: Any): Any =
@@ -39,16 +42,25 @@ object NfcNormalize {
 
   /** Static entry point shared by interpreted and generated code paths. */
   def normalize(s: UTF8String): UTF8String = {
+    // Fast path ON THE RAW BYTES: pure ASCII is always NFC already, and
+    // checking bytes avoids the per-row UTF-8 decode + String allocation
+    // the fast path exists to skip.
+    if (isAsciiBytes(s)) return s
     val str = s.toString
-    // Fast path: pure ASCII is always NFC already.
-    if (isAscii(str)) s
+    // Composed non-ASCII text (the common case for German crawl data) is
+    // usually NFC already — isNormalized skips the re-normalization copy,
+    // same gate NormalizeTextExpr.normalize uses.
+    if (java.text.Normalizer.isNormalized(str, java.text.Normalizer.Form.NFC)) s
     else UTF8String.fromString(java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
   }
 
-  private def isAscii(s: String): Boolean = {
+  private def isAsciiBytes(s: UTF8String): Boolean = {
+    val nb = s.numBytes()
+    val base = s.getBaseObject
+    val off = s.getBaseOffset
     var i = 0
-    while (i < s.length) {
-      if (s.charAt(i) >= 0x80) return false
+    while (i < nb) {
+      if ((org.apache.spark.unsafe.Platform.getByte(base, off + i) & 0x80) != 0) return false
       i += 1
     }
     true

@@ -26,9 +26,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * (`/root/reference/src/event_dedup/ingestion/file_processor.py:68-130`
   * canonicalizes record identity before the id-keyed insert).
   */
-case class RegisteredDomainExpr(child: Expression) extends UnaryExpression {
+case class RegisteredDomainExpr(child: Expression) extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes {
 
   override def dataType: DataType = StringType
+  // analysis-time type check — see HtmlArticleText
+  override def inputTypes: Seq[DataType] = Seq(StringType)
   override def nullIntolerant: Boolean = true
 
   override def nullSafeEval(input: Any): Any =
@@ -93,10 +96,19 @@ object Psl {
     // "registered domain" ('10.0.0.1' and '192.168.0.1' → '0.1'). IPv6
     // literals carry ':' (bracketed or not).
     if (host.indexOf(':') >= 0) return ""
-    val labels = host.split('.')
+    // limit -1: Java's split('.') DROPS trailing empty strings, so the
+    // empty-label guard below would miss a trailing dot ("example.com.")
+    // while catching the symmetric leading one
+    val labels = host.split("\\.", -1)
     val n = labels.length
     if (n == 0 || labels.exists(_.isEmpty)) return "" // leading/trailing dot
-    if (labels.forall(l => l.forall(_.isDigit))) return "" // IPv4 literal
+    // IPv4 literals in decimal AND hex/octal dotted forms ("0x7f.0.0.1")
+    // — ASCII digits only: Char.isDigit accepts Unicode digits, which are
+    // valid IDN label content, not IP octets
+    def asciiDigits(l: String) = l.forall(c => c >= '0' && c <= '9')
+    def hexOctet(l: String) = l.length > 2 && (l.startsWith("0x") || l.startsWith("0X")) &&
+      l.drop(2).forall(c => (c >= '0' && c <= '9') || (c >= 'a' && c <= 'f') || (c >= 'A' && c <= 'F'))
+    if (labels.forall(l => asciiDigits(l) || hexOctet(l))) return "" // IP literal
     // suffix starting at label i
     def suffix(i: Int): String =
       if (i == n - 1) labels(n - 1)

@@ -72,6 +72,18 @@ class UrlOpsSpec extends SparkSpec {
     assert(Psl.registeredDomain("foo.unknown-tld-zz") == "foo.unknown-tld-zz") // implicit *
     assert(Psl.registeredDomain("") == "")
     assert(Psl.registeredDomain(".example.com") == "") // empty label
+    // trailing dot: Java's split('.') drops trailing empties, so this
+    // needs the -1 limit to mirror the leading-dot case
+    assert(Psl.registeredDomain("example.com.") == "")
+    assert(Psl.registeredDomain("example..com") == "") // interior empty label
+  }
+
+  test("Psl: hex/octal dotted IP literals are unregistrable like decimal ones") {
+    import graft.functions.Psl
+    assert(Psl.registeredDomain("0x7f.0.0.1") == "")
+    assert(Psl.registeredDomain("0X7F.0XA.0.1") == "")
+    // a REAL name whose label merely starts with 0x-ish text still resolves
+    assert(Psl.registeredDomain("0xcafe-shop.example.com") == "example.com")
   }
 
   test("Psl: IDN rules match punycode hosts (A-label forms stored at load)") {
