@@ -42,8 +42,18 @@ object TextFunctions {
     pairs.foldLeft(c) { case (col, (from, to)) => replace(col, lit(from), lit(to)) }
   }
 
-  /** Collapse runs of whitespace to single spaces and trim (normalizer.py:57). */
-  def collapseWhitespace(c: Column): Column =
+  /** Collapse runs of whitespace to single spaces and trim (normalizer.py:57).
+    * Fused single byte-walk ([[CollapseWs]]); the regex chain stays as
+    * [[collapseWhitespaceDeclarative]], the semantic spec side of the
+    * differential test.
+    */
+  def collapseWhitespace(c: Column): Column = toCol(CollapseWs(toExpr(c)))
+
+  /** Built-ins-only reference chain for [[collapseWhitespace]] — also what
+    * [[normalizeTextDeclarative]] uses, so the normalize differential test
+    * keeps an implementation-independent spec side.
+    */
+  def collapseWhitespaceDeclarative(c: Column): Column =
     trim(regexp_replace(c, WhitespaceClass + "+", " "))
 
   /** Unicode-whitespace tokens with empty tokens filtered; null/blank text
@@ -52,7 +62,14 @@ object TextFunctions {
     * and `split` keeps boundary empty tokens, so per-operator copies of
     * this expression kept re-growing the phantom-empty-token bug.
     */
-  def whitespaceTokens(c: Column): Column =
+  def whitespaceTokens(c: Column): Column = toCol(WsTokens(toExpr(c)))
+
+  /** Built-ins-only reference chain for [[whitespaceTokens]] (one
+    * java.util.regex pass per evaluation — and consumers that read the
+    * token array several times, like the n-gram slices, re-evaluated it up
+    * to 4× per row; the fused walk is the hot-path form).
+    */
+  def whitespaceTokensDeclarative(c: Column): Column =
     filter(split(coalesce(c, lit("")), WhitespaceClass + "+"), t => length(t) > 0)
 
   /** Longest-first literal synonym substitution (synonyms.py:48-67).
@@ -85,7 +102,7 @@ object TextFunctions {
     val lowered = lower(c)
     val nfcd = nfc(lowered)
     val umlauted = expandUmlauts(nfcd)
-    val ws = collapseWhitespace(umlauted)
+    val ws = collapseWhitespaceDeclarative(umlauted)
     val syn = applySynonyms(ws, synonyms)
     val noPunct = regexp_replace(syn, PunctClass, "")
     // empty/NULL input → empty string (normalizer.py:35-36)

@@ -59,8 +59,21 @@ object TextAnalysis {
 
   /** Stopword hits for a language's stopword list; empty list → 0 hits
     * (not an `empty.reduceLeft` crash at plan construction).
+    * Fused single walk ([[graft.functions.StopwordHits]]): the padded
+    * occurrence-count form costs one regexp_replace + one replace pass PER
+    * WORD (langId ran 24 such passes per row); a word's padded occurrence
+    * count equals the count of tokens whose lowercase is that word, and a
+    * token equals at most one distinct word, so the per-list sum is one
+    * token walk against a hash set. [[stopwordHitsDeclarative]] stays as
+    * the spec side of the differential test.
     */
   def stopwordHits(text: Column, stopwords: Seq[String]): Column =
+    if (stopwords.isEmpty) lit(0.0)
+    else graft.functions.toCol(
+      graft.functions.StopwordHits(graft.functions.toExpr(text), stopwords))
+
+  /** The padded-occurrence-count reference chain for [[stopwordHits]]. */
+  def stopwordHitsDeclarative(text: Column, stopwords: Seq[String]): Column =
     if (stopwords.isEmpty) lit(0.0)
     else stopwords.map(wordOccurrences(text, _)).reduce(_ + _)
 

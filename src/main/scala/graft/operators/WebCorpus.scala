@@ -127,22 +127,38 @@ object WebCorpus {
     */
   def repetitionMetrics(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val t = toks(col(textCol))
+    // Per-row, ZERO-shuffle form (guide §2.4 — remove shuffles outright).
+    // Both metrics are functions of ONE document, so the former
+    // explode → groupBy(doc, gram) → groupBy(doc) → join-back plan (two
+    // aggregation Exchanges plus a join, shuffling every bigram occurrence
+    // of the corpus) computed a per-row quantity the slow way. The per-doc
+    // bigram mode is the longest run in the SORTED bigram array:
+    // max_n = max run length, tot = size(bigrams). Equivalence with the
+    // old aggregation plan: grouping counts per distinct gram == run
+    // lengths after sorting; max over them is the same number; a doc with
+    // no bigrams had no rows in the aggregation (→ null → coalesce 0.0),
+    // here size == 0 guards the same 0.0. At corpus scale this turns the
+    // operator into a pure map over the scan — nothing crosses the network.
     // blank/null-text docs stay VISIBLE with zero metrics (same posture as
-    // removeBoilerplate: a downstream gate drops them deliberately, never
-    // silently) — dropping their rows would let an empty husk pass a gate
-    // that inner-joins these metrics
-    val base = docs
-      .select(col(idCol), size(t).as("n_toks"), size(array_distinct(t)).as("n_distinct"))
-    val bg = docs.select(col(idCol).as("doc_ref"), explode(bigrams(col(textCol))).as("g"))
-    val top = bg.groupBy(col("doc_ref"), col("g")).count()
-      .groupBy(col("doc_ref"))
-      .agg(max(col("count")).as("max_n"), sum(col("count")).as("tot"))
-    base.join(top, base(idCol) <=> top("doc_ref"), "left") // null-safe: see removeBoilerplate
-      .select(base(idCol),
-        round(when(col("n_toks") === 0, 0.0)
-          .otherwise(lit(1.0) - col("n_distinct").cast("double") / col("n_toks")), 6)
-          .as("dup_token_ratio"),
-        round(coalesce(col("max_n").cast("double") / col("tot"), lit(0.0)), 6).as("top_bigram_frac"))
+    // removeBoilerplate): a downstream gate drops them deliberately, never
+    // silently.
+    val bg = bigrams(col(textCol))
+    val sorted = array_sort(bg)
+    val runState = aggregate(
+      sorted,
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (st, x) => {
+        val run = when(x === st.getField("prev"), st.getField("run") + 1L).otherwise(lit(1L))
+        struct(x.as("prev"), run.as("run"),
+          greatest(st.getField("best"), run).as("best"))
+      })
+    val maxRun = runState.getField("best")
+    docs.select(col(idCol),
+      round(when(size(t) === 0, 0.0)
+        .otherwise(lit(1.0) - size(array_distinct(t)).cast("double") / size(t)), 6)
+        .as("dup_token_ratio"),
+      round(when(size(bg) === 0, 0.0)
+        .otherwise(maxRun.cast("double") / size(bg)), 6).as("top_bigram_frac"))
   }
 
   /** Corpus-wide most frequent token n-grams — contamination/boilerplate
