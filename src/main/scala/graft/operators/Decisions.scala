@@ -60,8 +60,20 @@ object Decisions {
     // for one pair. min() is the deterministic representative (the same
     // rule as canonicalEntries; min skips nulls, so a node with any real
     // text version never reads as extraction-failed).
-    val t = extractedByNode.select(col("node"),
-      when(col("extracted_text").isNotNull, xxhash64(col("extracted_text"))).as("text_h"))
+    //
+    // Semi-join prune FIRST (r6): the pair joins below are LEFT OUTER, so
+    // the planner can only build the `t` side — it cannot broadcast the
+    // (small) pair side the way the inner LCS joins do — and an unpruned
+    // `t` therefore hashes and shuffles the FULL corpus per run even though
+    // only ambiguous-pair nodes can ever be probed. The broadcast node-set
+    // prune scales with the ambiguous band (broadcastable by construction —
+    // the same bound the band's own broadcast relies on), and behind it
+    // both the xxhash64 over the text bytes and the dedup aggregation run
+    // on the pruned slice only. Results are identical: left-join probes
+    // outside the pruned set produced NULL h_a/h_b before via no match row.
+    val t = MinHashLsh.pruneToPairNodes(extractedByNode, amb.select("node_a", "node_b"))
+      .select(col("node"),
+        when(col("extracted_text").isNotNull, xxhash64(col("extracted_text"))).as("text_h"))
       .groupBy("node").agg(min(col("text_h")).as("text_h"))
     // left joins: a pair whose node is missing from the text projection
     // must resolve (to no_match absent other evidence), never silently

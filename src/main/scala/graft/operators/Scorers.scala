@@ -265,25 +265,108 @@ object Scorers {
   /** V8 score a candidate-pair DataFrame carrying `_a`/`_b` suffixed event
     * columns; appends the four signals, combined score, and decision
     * (pipeline.py:98-161 vectorized).
+    *
+    * The single-Column scorers above ([[dateScore]], [[titleScore]], …) are
+    * the semantic spec, but used directly they instantiate their heavy
+    * subtrees once PER REFERENCE — the date-expansion tree (try_to_date +
+    * `sequence` day materialization inside lambda bodies, which codegen
+    * cannot reach and subexpression elimination skips) appeared 12× per row
+    * and the O(len²) fuzzy kernels 9× in the collapsed q37 plan. This
+    * DataFrame-level path stages each heavy subtree into an intermediate
+    * column evaluated exactly once per row (CollapseProject keeps
+    * multi-referenced non-cheap aliases staged), then computes the SAME
+    * score arithmetic over the staged attributes — bit-identical results,
+    * ~10× less per-row work (guide §1.2 step 2: per-task work).
     */
   def scorePairs(pairs: org.apache.spark.sql.DataFrame, cfg: GraftConfig = GraftConfig.default,
       priority: Seq[String] = Nil, overrides: Map[String, ScoringWeights] = Map.empty
   ): org.apache.spark.sql.DataFrame = {
-    val c = pairs
-      .withColumn("date_score", dateScore(col("dates_a"), col("dates_b"), cfg.date))
-      .withColumn("geo_score", geoScore(
-        col("geo_latitude_a"), col("geo_longitude_a"), col("geo_confidence_a"),
-        col("geo_latitude_b"), col("geo_longitude_b"), col("geo_confidence_b"),
-        col("location_name_a"), col("location_name_b"), cfg.geo))
-      .withColumn("title_score", titleScore(
-        col("title_a"), col("title_b"), col("source_type_a"), col("source_type_b"),
-        cfg.title, cfg.crossSourceTitle))
-      .withColumn("description_score", descriptionScore(
-        col("description_a"), col("short_description_a"),
-        col("description_b"), col("short_description_b")))
+    // (start_time, expanded days) per dates entry, expansion run ONCE per
+    // entry — the staged form of expandDates + timeForDay's per-day re-scan
+    def entryDays(dates: Column): Column =
+      zip_with(coalesce(dates, array()),
+        transform(coalesce(dates, array()), e => expandEntry(e)),
+        (e, ds) => struct(e.getField("start_time").as("st"), ds.as("days")))
+    // descriptionScore's Python-`or` pick (falsy fallback, trim after)
+    def pick(d: Column, sd: Column): Column =
+      trim(when(d.isNotNull && length(d) > 0, d)
+        .when(sd.isNotNull && length(sd) > 0, sd)
+        .otherwise(lit("")))
+    val s1 = pairs.select(col("*"),
+      entryDays(col("dates_a")).as("__dz_a"),
+      entryDays(col("dates_b")).as("__dz_b"),
+      casefold(trim(coalesce(col("title_a"), lit("")))).as("__ta"),
+      casefold(trim(coalesce(col("title_b"), lit("")))).as("__tb"),
+      pick(col("description_a"), col("short_description_a")).as("__pd_a"),
+      pick(col("description_b"), col("short_description_b")).as("__pd_b"),
+      haversineKm(col("geo_latitude_a"), col("geo_longitude_a"),
+        col("geo_latitude_b"), col("geo_longitude_b")).as("__dist"))
+    val s2 = s1.select(col("*"),
+      array_distinct(flatten(transform(col("__dz_a"), p => p.getField("days")))).as("__days_a"),
+      array_distinct(flatten(transform(col("__dz_b"), p => p.getField("days")))).as("__days_b"),
+      FuzzKernels.token_sort_ratio(col("__ta"), col("__tb")).as("__tsr"),
+      FuzzKernels.token_set_ratio(col("__ta"), col("__tb")).as("__tset"))
+    val s3 = s2.select(col("*"),
+      array_intersect(col("__days_a"), col("__days_b")).as("__shared"))
+
+    // date_score over the staged arrays — same formula as [[dateScore]]
+    def stOf(dz: String, d: Column): Column =
+      get(filter(col(dz), p => array_contains(p.getField("days"), d)), lit(0))
+        .getField("st")
+    val shared = col("__shared")
+    val factors = transform(shared, d =>
+      timeProximityFactor(stOf("__dz_a", d), stOf("__dz_b", d), cfg.date))
+    val jaccard = size(shared).cast("double") /
+      size(array_union(col("__days_a"), col("__days_b")))
+    val avgFactor = aggregate(factors, lit(0.0), (acc, x) => acc + x) / size(shared)
+    val dateScoreStaged =
+      when(size(col("__days_a")) === 0 || size(col("__days_b")) === 0, 0.0)
+        .when(size(shared) === 0, 0.0)
+        .otherwise(jaccard * avgFactor)
+
+    // geo_score with the haversine staged — same formula as [[geoScore]]
+    val (latA, lonA, confA) = (col("geo_latitude_a"), col("geo_longitude_a"), col("geo_confidence_a"))
+    val (latB, lonB, confB) = (col("geo_latitude_b"), col("geo_longitude_b"), col("geo_confidence_b"))
+    val missing = latA.isNull || lonA.isNull || latB.isNull || lonB.isNull
+    val coordsIdentical = abs(latA - latB) < 1e-6 && abs(lonA - lonB) < 1e-6
+    val lowConf = (confA.isNotNull && confA < cfg.geo.minConfidence) ||
+      (confB.isNotNull && confB < cfg.geo.minConfidence)
+    val base = greatest(lit(0.0), lit(1.0) - col("__dist") / cfg.geo.maxDistanceKm)
+    val withVenue = when(col("__dist") < cfg.geo.venueMatchDistanceKm,
+      base * venueNameFactor(col("location_name_a"), col("location_name_b"), cfg.geo))
+      .otherwise(base)
+    val geoScoreStaged = when(missing, cfg.geo.neutralScore)
+      .when(!coordsIdentical && lowConf, cfg.geo.neutralScore)
+      .otherwise(withVenue)
+
+    // title_score with the two kernels staged — same formula as [[titleScore]]
+    def blend(c: TitleConfig): Column =
+      when(col("__tsr") >= c.blendLower && col("__tsr") <= c.blendUpper,
+        lit(c.primaryWeight) * col("__tsr") + lit(c.secondaryWeight) * col("__tset"))
+        .otherwise(col("__tsr"))
+    val isCross = col("source_type_a") =!= col("source_type_b") &&
+      col("source_type_a").isin("artikel", "terminliste") &&
+      col("source_type_b").isin("artikel", "terminliste")
+    val titleScoreStaged =
+      when(length(col("__ta")) === 0 || length(col("__tb")) === 0, 0.0)
+        .when(isCross, blend(cfg.crossSourceTitle))
+        .otherwise(blend(cfg.title))
+
+    val descScoreStaged =
+      when(length(col("__pd_a")) === 0 && length(col("__pd_b")) === 0, 0.5)
+        .when(length(col("__pd_a")) === 0 || length(col("__pd_b")) === 0, 0.4)
+        .otherwise(FuzzKernels.token_sort_ratio(col("__pd_a"), col("__pd_b")))
+
+    val c = s3
+      .withColumn("date_score", dateScoreStaged)
+      .withColumn("geo_score", geoScoreStaged)
+      .withColumn("title_score", titleScoreStaged)
+      .withColumn("description_score", descScoreStaged)
     c.withColumn("combined_score", combinedScoreWithOverrides(
         col("date_score"), col("geo_score"), col("title_score"), col("description_score"),
         col("categories_a"), col("categories_b"), priority, overrides, cfg.scoring))
       .withColumn("decision", decide(col("combined_score"), col("title_score"), cfg.thresholds))
+      .drop("__dz_a", "__dz_b", "__ta", "__tb", "__pd_a", "__pd_b", "__dist",
+        "__days_a", "__days_b", "__tsr", "__tset", "__shared")
   }
 }

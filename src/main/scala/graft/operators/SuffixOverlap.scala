@@ -46,7 +46,12 @@ object SuffixOverlap {
     * hot fingerprints capped — same skew posture as the LSH band join).
     */
   def candidates(texts: Dataset[(Long, String)], cfg: GraftConfig): DataFrame = {
-    val fps = fingerprints(texts, cfg)
+    // eager per-invocation checkpoint: the fingerprint frame feeds the
+    // hot-key count and BOTH self-join sides — without truncation the
+    // Karp-Rabin rolling hash re-runs over every text 3× (guide §2.4,
+    // duplicated subtrees). Blocks are context-cleaned once the result is
+    // dropped; nothing is cached across invocations.
+    val fps = fingerprints(texts, cfg).localCheckpoint(true)
     val hot = fps.groupBy("fp").count()
       .where(col("count") > cfg.lsh.maxBucketSize)
       .select("fp")

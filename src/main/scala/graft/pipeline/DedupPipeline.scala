@@ -216,8 +216,29 @@ final class DedupPipeline(
     decisionsDf match {
       case None => base
       case Some(decs) =>
-        val quality = Synthesis.clusterQuality(labelsDf, decs, cfg)
-          .select(col("component"), col("flagged"), col("match_confidence"), col("tier2_assisted"))
+        // Fused cluster quality (r6): [[Synthesis.clusterQuality]] re-counted
+        // the FULL labels frame per component and joined that back — but
+        // `base` already carries source_count, which is the same
+        // per-component member count (urls are the pipeline's unique key).
+        // Only the match-edge aggregation actually needs its own join: a
+        // frame bounded by the number of matched pairs (≪ corpus; empty for
+        // all-singleton corpora), so the quality join's right side shrinks
+        // from |clusters| rows to |matched components| — at 1M docs this
+        // removed two 1M-row shuffles (labels re-count + base⋈quality) from
+        // the canonicals stage (guide §2.4: share one aggregation instead of
+        // re-deriving it). Semantics per clusterQuality: match rows ONLY
+        // (overlap_match never creates a cluster edge), node_a side is exact
+        // because match endpoints share a component.
+        val matchAgg = decs
+          .where(col("decision") === "match")
+          .select(col("node_a").as("node"),
+            col("exact_jaccard").as("match_weight"),
+            (col("tier") =!= "jaccard").as("is_tier2"))
+          .join(labelsDf.select(col("node"), col("component")), "node")
+          .groupBy("component")
+          .agg(
+            avg(col("match_weight")).as("match_confidence"),
+            bool_or(col("is_tier2")).as("tier2_assisted"))
         // coherence check (c) webtext analog: date spread = distinct warc_ts
         // days, computed inside the canonicals aggregation itself (the
         // labeled frame carries warc_ts — no second extracted scan/join).
@@ -229,9 +250,16 @@ final class DedupPipeline(
           if (cfg.cluster.warcDateCriterion)
             col("distinct_days") > cfg.cluster.maxDistinctDates
           else lit(false)
-        base.join(quality, Seq("component"), "left")
-          .withColumn("flagged", coalesce(col("flagged"), lit(false)) || dateClause)
-          .withColumn("tier2_assisted", coalesce(col("tier2_assisted"), lit(false)))
+        val joined = base.join(matchAgg, Seq("component"), "left")
+        // same output column ORDER as the pre-fusion plan:
+        // base columns, flagged, match_confidence, tier2_assisted
+        joined.select(base.columns.map(col) ++ Seq(
+          (col("source_count") > cfg.cluster.maxClusterSize ||
+            (col("match_confidence").isNotNull &&
+              col("match_confidence") < cfg.cluster.minInternalSimilarity) ||
+            dateClause).as("flagged"),
+          col("match_confidence"),
+          coalesce(col("tier2_assisted"), lit(false)).as("tier2_assisted")): _*)
     }
   }
 

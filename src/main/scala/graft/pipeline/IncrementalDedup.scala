@@ -172,11 +172,16 @@ final class IncrementalDedup(spark: SparkSession, cfg: GraftConfig = GraftConfig
     // stored-corpus anti-join below (the node isn't stored yet) and the
     // append-only sigs/bands tables would gain permanent duplicate rows
     // for that node, multiplying every later fold's candidate pairs. The
-    // representative is deterministic (lexicographic-min extracted text —
-    // byte-identical re-crawls collapse to the identical row), matching
-    // the fold-≡-full-run invariant the class doc promises.
+    // representative is deterministic: longest extracted text first (a
+    // failed/blank extraction of a url crawled twice in one batch must not
+    // beat the contentful crawl — that would permanently store a
+    // never-matching null-signature row, ADVICE r5), ties by lexicographic
+    // order (byte-identical re-crawls collapse to the identical row).
+    // length(null) sorts last under desc, so a null-text row wins only when
+    // every crawl of the node failed.
     val batchW = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("node")).orderBy(col("extracted_text"))
+      .partitionBy(col("node"))
+      .orderBy(length(col("extracted_text")).desc, col("extracted_text"))
     val rawSigs = pin(signaturesOf(newPages)
       .withColumn("__rn", row_number().over(batchW))
       .where(col("__rn") === 1).drop("__rn"))

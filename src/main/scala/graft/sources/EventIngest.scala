@@ -226,14 +226,16 @@ object EventIngest {
     * clock inside jobs).
     *
     * DISTRIBUTED write: part payloads never cross the driver. The only
-    * `collect()` is the (part, event_count) metadata pass — two longs per
-    * part; the events-array strings are written by the EXECUTORS holding
-    * them, through the Hadoop FileSystem API (so `outDir` may be any
-    * supported scheme — file://, hdfs://, s3a://; the round-2 Checkpoints
-    * lesson: `java.nio.file` silently breaks on object stores). The global
-    * id order that assigns events to parts is a single-partition window —
-    * acceptable for the review-export sizes this API mirrors; the 100 TB
-    * bulk path remains [[export]]'s `maxRecordsPerFile` writer.
+    * driver passes are the (part, event_count) metadata collect — two longs
+    * per part — and the per-partition count array for the global numbering;
+    * the events-array strings are written by the EXECUTORS holding them,
+    * through the Hadoop FileSystem API (so `outDir` may be any supported
+    * scheme — file://, hdfs://, s3a://; the round-2 Checkpoints lesson:
+    * `java.nio.file` silently breaks on object stores). The global id order
+    * that assigns events to parts is range-repartition + in-partition sort +
+    * cumulative per-partition offsets (r6 — the previous Window.orderBy(id)
+    * row_number forced every row through ONE task); the 100 TB bulk path
+    * remains [[export]]'s `maxRecordsPerFile` writer.
     *
     * @param eventsJson (id, event_json) — event_json from [[toInputFormat]]
     * @return (filename, part, event_count) per written file
@@ -268,13 +270,36 @@ object EventIngest {
       try out.write(content.getBytes("UTF-8")) finally out.close()
     }
 
-    val w = org.apache.spark.sql.expressions.Window.orderBy(col("id"))
+    // Distributed global numbering (no single-partition stage):
+    // range-repartition + in-partition sort gives globally ordered
+    // partitions; the per-partition counts (one tiny driver array) turn each
+    // row's in-partition index into its global row number. Ids are the
+    // export key (unique), so the resulting numbering is the same total
+    // order the previous Window.orderBy(id) row_number produced — without
+    // funnelling every row through one task. The checkpoint materializes the
+    // sort once for its two consumers (count pass + numbering pass).
+    val sorted = eventsJson
+      .select(col("id"), col("event_json"))
+      .repartitionByRange(col("id"))
+      .sortWithinPartitions(col("id"))
+      .select(spark_partition_id().as("__pid"), col("event_json"))
+      .localCheckpoint(true)
+    val pidCounts = sorted.groupBy("__pid").count()
+      .as[(Int, Long)].collect().sortBy(_._1)
+    val offsets: Map[Int, Long] = {
+      var acc = 0L
+      pidCounts.map { case (pid, n) => val o = (pid, acc); acc += n; o }.toMap
+    }
+    val numbered = sorted.as[(Int, String)]
+      .mapPartitions { it =>
+        var i = 0L
+        it.map { case (pid, json) => i += 1L; (offsets(pid) + i, json) }
+      }.toDF("__rn", "event_json")
     // Within-part event order must be the reference's id order contractually:
     // collect_list does NOT guarantee encounter order through the groupBy
     // shuffle, so collect (rn, json) structs and sort_array them — struct
     // order = rn order — before joining.
-    val parts = eventsJson
-      .withColumn("__rn", row_number().over(w))
+    val parts = numbered
       .withColumn("__part", (((col("__rn") - 1) / chunkSize) + 1).cast("long"))
       .groupBy(col("__part").as("part"))
       .agg(array_join(
