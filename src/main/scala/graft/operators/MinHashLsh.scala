@@ -69,6 +69,54 @@ object MinHashLsh {
         sum(when(col("count") > 1, col("count") * (col("count") - 1) / 2).otherwise(0)).as("candidate_pairs_upper")
       )
 
+  /** Exact set of hot keys (bucket size > cap) computed WITHOUT the
+    * corpus-wide (key, count) aggregation shuffle the naive
+    * `groupBy(key).count()` pays (guide §2.4 — that exchange carries one row
+    * per DISTINCT key, i.e. nearly the full exploded frame when band keys are
+    * mostly unique, and in the self-join callers the whole count subtree was
+    * even duplicated once per join side).
+    *
+    * Pass 1 (shuffle-free): count keys per partition and keep only keys that
+    * clear the pigeonhole bound — a key with total count > cap spread over m
+    * partitions must reach a local count ≥ ceil((cap+1)/m) in at least one
+    * partition, so the survivor set is a superset of the true hot set. On
+    * non-pathological corpora it is empty and detection costs one narrow
+    * local pass over cached bytes. Per-task state is one (key → count) map
+    * over the partition's distinct keys — bounded by partition row count,
+    * the same order of memory the old hash aggregation used.
+    *
+    * Pass 2 (only when pass 1 finds survivors): exact-count just the
+    * survivor keys behind a broadcast semi-join and apply the true `> cap`
+    * filter — the aggregation output is |survivors|, not |distinct keys|.
+    */
+  private[operators] def hotKeyArray(rows: DataFrame, keyCol: String, cap: Int): Array[Long] = {
+    val keys = rows.select(col(keyCol))
+    require(keys.schema.head.dataType == org.apache.spark.sql.types.LongType,
+      s"hot-key detection expects a LongType key, got ${keys.schema.head.dataType}")
+    val rdd = keys.queryExecution.toRdd // InternalRow: no Row conversion
+    val m = math.max(1, rdd.getNumPartitions)
+    val thr = (cap.toLong + m) / m // ceil((cap+1)/m)
+    val survivors = rdd.mapPartitions { it =>
+      val counts = new java.util.HashMap[Long, Long]()
+      while (it.hasNext) {
+        val k = it.next().getLong(0)
+        counts.put(k, counts.getOrDefault(k, 0L) + 1L)
+      }
+      import scala.jdk.CollectionConverters._
+      counts.entrySet().iterator().asScala
+        .filter(_.getValue >= thr).map(_.getKey.longValue())
+    }.collect().distinct
+    if (survivors.isEmpty) Array.empty[Long]
+    else {
+      val spark = rows.sparkSession
+      import spark.implicits._
+      keys.join(broadcast(survivors.toSeq.toDF(keyCol)), Seq(keyCol), "left_semi")
+        .groupBy(keyCol).count()
+        .where(col("count") > cap)
+        .select(keyCol).collect().map(_.getLong(0))
+    }
+  }
+
   /** Drop every row whose `keyCol` bucket holds more than `cap` members —
     * the hot-bucket guard shared by the band join, the SimHash block join
     * and the embedding-LSH bucket join ([[graft.operators.Similarity
@@ -76,17 +124,27 @@ object MinHashLsh {
     * > cap rows), so they broadcast. `cap == Int.MaxValue` skips the prune
     * entirely (exhaustive semantics, no counting shuffle); `cap < 1` would
     * silently drop every non-empty bucket, so it's rejected.
+    *
+    * r6: the hot set is detected eagerly via [[hotKeyArray]] (pigeonhole
+    * local count, no corpus-wide count shuffle) and the anti-join is elided
+    * outright when it is empty — the previous lazy `groupBy(key).count()`
+    * subtree was planned once per self-join SIDE in every caller (two
+    * Exchange + HashAggregate pairs per query, visible in the q18/q19
+    * baseline plans).
     */
   private[operators] def pruneHotBuckets(rows: DataFrame, keyCol: String, cap: Int): DataFrame =
     if (cap == Int.MaxValue) rows
     else {
       require(cap >= 1, s"maxBucketSize must be >= 1, got $cap")
-      val hotKeys = rows.groupBy(keyCol).count()
-        .where(col("count") > cap)
-        .select(keyCol)
-      // NOTE: the Seq-key anti-join moves keyCol first in the output —
-      // callers must select columns by NAME afterwards, never by position
-      rows.join(broadcast(hotKeys), Seq(keyCol), "left_anti")
+      val hot = hotKeyArray(rows, keyCol, cap)
+      if (hot.isEmpty) rows
+      else {
+        val spark = rows.sparkSession
+        import spark.implicits._
+        // NOTE: the Seq-key anti-join moves keyCol first in the output —
+        // callers must select columns by NAME afterwards, never by position
+        rows.join(broadcast(hot.toSeq.toDF(keyCol)), Seq(keyCol), "left_anti")
+      }
     }
 
   /** LSH candidate pairs: (node_a, node_b) with node_a < node_b, deduped
@@ -175,11 +233,13 @@ object MinHashLsh {
     // cap) — collect it once: the broadcast build would pull it to the
     // driver anyway, and knowing it's empty lets the whole anti-join + star
     // subplan tree be elided from the plan (it usually is on clean corpora;
-    // boilerplate-heavy web crawls are where it kicks in).
+    // boilerplate-heavy web crawls are where it kicks in). r6: detection
+    // goes through [[hotKeyArray]]'s pigeonhole local count — the previous
+    // `groupBy(key).count()` shuffled one row per DISTINCT key (≈ the whole
+    // 20-keys/doc exploded frame, its second-largest exchange after the
+    // self-join itself) just to find a set that is almost always empty.
     val spark = sigs.sparkSession
-    val hotArr = keyed.groupBy("key").count()
-      .where(col("count") > cfg.lsh.maxBucketSize).select("key")
-      .collect().map(_.getLong(0))
+    val hotArr = hotKeyArray(keyed, "key", cfg.lsh.maxBucketSize)
     import spark.implicits._
     val hotKeys = broadcast(hotArr.toSeq.toDF("key"))
 

@@ -57,6 +57,23 @@ class MinHashLshSpec extends SparkSpec {
     assert(math.abs(row._1 - row._2) < 0.15, s"est=${row._1} exact=${row._2}")
   }
 
+  test("hotKeyArray is exact at the cap boundary and across thin partition spread") {
+    // keys: 100 → count cap+1 (hot), 200 → count exactly cap (NOT hot),
+    // 300 → count 1. Rows are spread round-robin over many partitions so
+    // every partition-local count sits far below the cap — the pigeonhole
+    // pass-1 bound (local ≥ ceil((cap+1)/m)) must still surface key 100,
+    // and pass 2's exact recount must reject 200 despite it surviving
+    // pass 1 alongside 100.
+    val cap = 40
+    val rows = (Seq.fill(cap + 1)(100L) ++ Seq.fill(cap)(200L) ++ Seq(300L))
+    val df = spark.sparkContext.parallelize(rows, 16).toDF("key")
+    val hot = MinHashLsh.hotKeyArray(df, "key", cap)
+    assert(hot.toSet == Set(100L), s"expected exactly {100}, got ${hot.toSet}")
+    // empty result when nothing exceeds the cap — the caller elides the
+    // anti-join entirely in this case
+    assert(MinHashLsh.hotKeyArray(df, "key", cap + 1).isEmpty)
+  }
+
   test("bucketStats reports capped buckets") {
     val cfg = GraftConfig.default.copy(lsh = GraftConfig.default.lsh.copy(maxBucketSize = 10))
     val text = (1 to 50).map(i => s"same$i").mkString(" ")
