@@ -44,18 +44,28 @@ final class AuditLog(spark: SparkSession, path: String) {
     // enforces a one-row frame, and stamping a batched multi-action frame
     // with one lit(seq) would mint duplicate (run_id, seq) pairs — exactly
     // the unrecoverable within-run order the class doc forbids. Row order
-    // inside one batched frame is ordered by (action, details) — an
-    // unordered DataFrame carries no intent to recover, so the stable
-    // choice is what matters (a global window; audit frames are tiny).
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("action"), col("details"))
-    val rows = audit.select(col("action"),
+    // inside one batched frame is (action, details) — an unordered
+    // DataFrame carries no intent to recover, so the stable choice is what
+    // matters. The frame is materialized ON THE DRIVER exactly once (audit
+    // frames are tiny review actions): the previous count-job + write-job
+    // pair evaluated the input twice, so a nondeterministic input frame
+    // could write a different number of rows than it counted and
+    // desynchronize the (run_id, seq) allocation. Ordering uses UTF-8
+    // binary comparison — the same total order the previous global window
+    // produced in Spark.
+    val collected = audit.select(col("action"),
         to_json(struct(detailCols.map(col): _*)).as("details"))
-      .withColumn("seq", lit(seq) + row_number().over(w).cast("long") - 1L)
-      .select(lit(runId).as("run_id"), col("seq"), col("action"), col("details"))
-    val n = rows.count()
-    rows.write.mode("append").parquet(path)
-    seqs(runId) = seq + n
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    def u8(s: String) = org.apache.spark.unsafe.types.UTF8String.fromString(s)
+    val ordered = collected.sortWith { (a, b) =>
+      val c = u8(a._1).compareTo(u8(b._1))
+      if (c != 0) c < 0 else u8(a._2).compareTo(u8(b._2)) < 0
+    }
+    val stamped = ordered.zipWithIndex.map { case ((a, d), i) => (runId, seq + i, a, d) }
+    import spark.implicits._
+    stamped.toSeq.toDF("run_id", "seq", "action", "details")
+      .write.mode("append").parquet(path)
+    seqs(runId) = seq + ordered.length
   }
 
   /** The full audit history (empty frame with the right schema if nothing
