@@ -130,9 +130,50 @@ case class DocSignature(child: Expression, n: Int, k: Int, lshSeed: Long, simSee
 
     val votes = new Array[Int](64)
     val ring = new Array[Long](n) // last n token hashes (lshSeed)
-    val seen = new java.util.HashSet[java.lang.Long]()
-    val shingles = new scala.collection.mutable.ArrayBuffer[Long]()
+    // Primitive open-addressing seen-set + growable primitive buffer (r6):
+    // the previous java.util.HashSet[java.lang.Long] + ArrayBuffer[Long]
+    // boxed every distinct shingle hash twice — at 10^6 docs that is
+    // ~10^8 java.lang.Long allocations per corpus pass, pure GC churn in
+    // the sketch hot loop. 0 is kept out of the table (sentinel) via a
+    // dedicated flag; probe order does not affect output (first-seen
+    // APPEND order into `shingles` is what downstream sees, unchanged).
+    var cap = 1 << 9
+    var tbl = new Array[Long](cap)
+    var setSize = 0
+    var hasZero = false
+    var shingles = new Array[Long](256)
+    var nSh = 0
     val mins = Array.fill(k)(-1L) // unsigned max
+
+    def addSeen(h: Long): Boolean =
+      if (h == 0L) { if (hasZero) false else { hasZero = true; true } }
+      else {
+        var mask = cap - 1
+        var idx = (h ^ (h >>> 33)).toInt & mask
+        while (tbl(idx) != 0L && tbl(idx) != h) idx = (idx + 1) & mask
+        if (tbl(idx) == h) false
+        else {
+          tbl(idx) = h
+          setSize += 1
+          if (setSize * 2 > cap) { // grow at 0.5 load, rehash
+            val old = tbl
+            cap <<= 1
+            mask = cap - 1
+            tbl = new Array[Long](cap)
+            var oi = 0
+            while (oi < old.length) {
+              val v = old(oi)
+              if (v != 0L) {
+                var ni = (v ^ (v >>> 33)).toInt & mask
+                while (tbl(ni) != 0L) ni = (ni + 1) & mask
+                tbl(ni) = v
+              }
+              oi += 1
+            }
+          }
+          true
+        }
+      }
 
     var tokens = 0
     var start = 0
@@ -154,8 +195,11 @@ case class DocSignature(child: Expression, n: Int, k: Int, lshSeed: Long, simSee
             h = XXH64.hashLong(ring((tokens - n + j) % n), h)
             j += 1
           }
-          if (seen.add(h)) {
-            shingles += h
+          if (addSeen(h)) {
+            if (nSh == shingles.length)
+              shingles = java.util.Arrays.copyOf(shingles, nSh << 1)
+            shingles(nSh) = h
+            nSh += 1
             var p = 0
             while (p < k) {
               val hp = as(p) * h + bs(p)
@@ -176,9 +220,17 @@ case class DocSignature(child: Expression, n: Int, k: Int, lshSeed: Long, simSee
       b += 1
     }
     val nTokens: Any = if (nb == 0) 0 else tokens
-    val minhash: Any = if (shingles.isEmpty) null else new GenericArrayData(mins)
+    // UnsafeArrayData.fromPrimitiveArray: no per-element boxing on output
+    // (GenericArrayData(Array[Long]) widens to Object[]) — same ArrayData
+    // contract, bit-identical values
+    val minhash: Any =
+      if (nSh == 0) null
+      else org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(mins)
     new GenericInternalRow(Array[Any](
-      nTokens, new GenericArrayData(shingles.toArray), minhash, sim))
+      nTokens,
+      org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(
+        java.util.Arrays.copyOf(shingles, nSh)),
+      minhash, sim))
   }
 
   override protected def withNewChildInternal(newChild: Expression): DocSignature =
